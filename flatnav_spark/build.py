@@ -1,0 +1,312 @@
+"""Index build pipeline — the ``Index::addBatch`` analog
+(include/flatnav/index/Index.h:300-329), re-architected for Spark's bulk
+shuffle/aggregate execution model instead of flatnav's lock-guarded
+in-memory arena inserts (Index.h:353-378).
+
+Pipeline (two checkpointable stages):
+
+Stage 1 — per-group tokenize + doc-id assignment (``allocateNode`` analog,
+Index.h:262-272, but without a mutex: ids are a deterministic pure function
+of the row key and the split count):
+
+    split   = pmod(xxhash64(repo, path, commit), n_splits)
+    ordinal = row_number() over (partition by split order by repo,path,commit)
+    doc_id  = (ordinal - 1) * n_splits + split
+
+  No global sort, no range-partitioner sampling, no driver bottleneck:
+  ids are dense-ish (compress well under gap coding), stable across
+  re-runs/cluster sizes, and balanced across splits by hash. Each group of
+  splits writes its ``docs`` rows and ``(term, doc_id, tf, dl)`` runs to a
+  checkpoint directory with a lineage marker — the resumable unit
+  (north_rule: "resumable from checkpoint with per-partition lineage").
+
+Stage 2 — term-keyed merge into block-max segments (``connectNeighbors``
+merge analog, Index.h:765-834):
+
+    block_id = doc_id // block_range
+    groupBy(term, block_id) -> varint gap-coded segment + block_max_tfn
+
+  Grouping on (term, block_id) IS the hot-term skew treatment: block_id is
+  a deterministic doc-range salt, so ``import`` with df=10^9 becomes many
+  bounded groups (each <= block_range docs) instead of one straggler task.
+  The per-(term,doc) tf aggregation before it relies on map-side partial
+  aggregation (high-cardinality key, no skew); the per-term stats
+  aggregation reduces pre-combined partials. AQE skew-join splitting stays
+  on as a backstop.
+
+All heavy lifting is DataFrame ops + Arrow-vectorized applyInPandas; the
+only Python that touches data runs per Arrow batch on numpy arrays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from flatnav_spark.codec import encode_gaps, varint_encode
+from flatnav_spark.index_io import MANIFEST_VERSION, IndexManifest, LoadedIndex
+from flatnav_spark.scorer import BM25Params, tf_norm
+from flatnav_spark.tokenizer import make_tokenize_udf
+
+DEFAULT_BLOCK_RANGE = 4096
+DEFAULT_N_SPLITS = 64
+DEFAULT_N_GROUPS = 8
+
+_STAGE1 = "_stage1"
+
+
+def _config_hash(mode: str, params: BM25Params, block_range: int, n_splits: int) -> str:
+    payload = json.dumps(
+        {
+            "version": MANIFEST_VERSION,
+            "mode": mode,
+            "k1": params.k1,
+            "b": params.b,
+            "block_range": block_range,
+            "n_splits": n_splits,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _marker_path(out_path: str, group: int) -> str:
+    return os.path.join(out_path, _STAGE1, f"group={group}", "_DONE.json")
+
+
+def _stage1_group(corpus_split, out_path: str, group: int, n_groups: int,
+                  n_splits: int, mode: str, cfg_hash: str) -> None:
+    """Tokenize + id-assign one group of splits; write docs + tf runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gdir = os.path.join(out_path, _STAGE1, f"group={group}")
+    sub = corpus_split.filter(F.pmod(F.col("split"), F.lit(n_groups)) == group)
+
+    w = Window.partitionBy("split").orderBy("repo", "path", "commit")
+    tokenize = make_tokenize_udf(mode)
+    docs_tok = (
+        sub.withColumn("ordinal", F.row_number().over(w))
+        .withColumn("doc_id", (F.col("ordinal") - 1) * F.lit(int(n_splits)) + F.col("split"))
+        .withColumn("tokens", tokenize(F.col("content")))
+        .withColumn("dl", F.size("tokens").cast("long"))
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+    )
+
+    docs_out = docs_tok.select("doc_id", "repo", "path", "commit", "lang", "content_sha", "dl")
+    docs_out.write.mode("overwrite").parquet(os.path.join(gdir, "docs"))
+
+    tf = (
+        docs_tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    tf.write.mode("overwrite").parquet(os.path.join(gdir, "tf"))
+
+    # lineage marker: config + content fingerprint of the group's input
+    spark = corpus_split.sparkSession
+    fp_row = (
+        spark.read.parquet(os.path.join(gdir, "docs"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("repo", "path", "commit", "content_sha")).alias("fp"),
+        )
+        .collect()[0]
+    )
+    with open(_marker_path(out_path, group), "w") as f:
+        json.dump(
+            {"group": group, "config_hash": cfg_hash,
+             "n_docs": int(fp_row["n"] or 0), "input_fingerprint": int(fp_row["fp"] or 0)},
+            f,
+        )
+
+
+def _make_block_encoder(avgdl: float, params: BM25Params, block_range: int):
+    """applyInPandas kernel: one (term, block_id) group -> one segment row.
+
+    selectNeighbors analog (Index.h:714-763): decides the persisted
+    per-block summary (block_max_tfn) that query-time pruning relies on."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        block_id = int(pdf["block_id"].iloc[0])
+        base = block_id * block_range
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(doc_ids)
+        doc_ids = doc_ids[order]
+        tfs = pdf["tf"].to_numpy(np.int64)[order]
+        dls = pdf["dl"].to_numpy(np.int64)[order]
+        bmax = float(tf_norm(tfs, dls, avgdl, params).max())
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "block_id": [block_id],
+                "n": [len(doc_ids)],
+                "docs_bin": [encode_gaps(doc_ids, base)],
+                "tfs_bin": [varint_encode(tfs)],
+                "dls_bin": [varint_encode(dls)],
+                "bmax_tfn": [bmax],
+            }
+        )
+
+    return encode
+
+
+def build_index(
+    corpus_df,
+    out_path: str,
+    mode: str = "code",
+    params: BM25Params = BM25Params(),
+    block_range: int = DEFAULT_BLOCK_RANGE,
+    n_splits: int = DEFAULT_N_SPLITS,
+    n_groups: int = DEFAULT_N_GROUPS,
+    out_partitions: Optional[int] = None,
+    resume: bool = False,
+) -> LoadedIndex:
+    """Build a persistent inverted index from a corpus DataFrame with
+    columns (repo, path, commit, lang, content). Returns a LoadedIndex.
+
+    ``resume=True`` skips stage-1 groups whose lineage marker matches the
+    current config hash (kill-and-restart safe); any marker from a
+    different config aborts the build rather than forking lineage.
+    """
+    from pyspark.sql import functions as F
+
+    spark = corpus_df.sparkSession
+    cfg_hash = _config_hash(mode, params, block_range, n_splits)
+
+    if not resume and os.path.exists(out_path):
+        shutil.rmtree(out_path)
+    os.makedirs(out_path, exist_ok=True)
+
+    corpus_split = corpus_df.withColumn(
+        "split", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_splits)).cast("long")
+    )
+
+    # ---- stage 1: per-group checkpointed tokenize + id assignment ----
+    for group in range(n_groups):
+        marker = _marker_path(out_path, group)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                meta = json.load(f)
+            if meta.get("config_hash") != cfg_hash:
+                raise ValueError(
+                    f"stage1 group {group} checkpoint was built with a different "
+                    f"config ({meta.get('config_hash')} != {cfg_hash}); refusing to resume"
+                )
+            continue
+        _stage1_group(corpus_split, out_path, group, n_groups, n_splits, mode, cfg_hash)
+
+    docs_all = spark.read.parquet(os.path.join(out_path, _STAGE1, "group=*", "docs"))
+    tf_all = spark.read.parquet(os.path.join(out_path, _STAGE1, "group=*", "tf"))
+
+    # ---- corpus stats (exact integer arithmetic -> deterministic avgdl) ----
+    stats_row = docs_all.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).collect()[0]
+    n_docs = int(stats_row["n_docs"])
+    total_dl = int(stats_row["total_dl"] or 0)
+    avgdl = float(total_dl) / float(n_docs) if n_docs else 0.0
+
+    if out_partitions is None:
+        out_partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    # ---- stage 2a: per-term stats (map-side combined aggregation) ----
+    term_stats = tf_all.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    (
+        term_stats.repartitionByRange(out_partitions, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, "stats"))
+    )
+    term_stats = spark.read.parquet(os.path.join(out_path, "stats"))
+
+    # ---- stage 2b: block-max posting segments ----
+    from pyspark.sql import types as T
+
+    seg_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("block_id", T.LongType(), False),
+            T.StructField("n", T.IntegerType(), False),
+            T.StructField("docs_bin", T.BinaryType(), False),
+            T.StructField("tfs_bin", T.BinaryType(), False),
+            T.StructField("dls_bin", T.BinaryType(), False),
+            T.StructField("bmax_tfn", T.DoubleType(), False),
+        ]
+    )
+    encode = _make_block_encoder(avgdl, params, block_range)
+    postings = (
+        tf_all.withColumn("block_id", (F.col("doc_id") / F.lit(block_range)).cast("long"))
+        .groupBy("term", "block_id")
+        .applyInPandas(encode, schema=seg_schema)
+    )
+    (
+        postings.repartitionByRange(out_partitions, "term", "block_id")
+        .sortWithinPartitions("term", "block_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, "postings"))
+    )
+
+    # ---- docs table, doc_id-ordered layout ----
+    (
+        docs_all.repartitionByRange(out_partitions, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, "docs"))
+    )
+
+    # ---- manifest + metrics ----
+    seg_df = spark.read.parquet(os.path.join(out_path, "postings"))
+    seg_row = seg_df.agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("n").alias("n_postings"),
+        F.sum(F.length("docs_bin") + F.length("tfs_bin") + F.length("dls_bin")).alias("payload_bytes"),
+    ).collect()[0]
+    skew_row = term_stats.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.max("df").alias("max_df"),
+        F.avg("df").alias("mean_df"),
+    ).collect()[0]
+
+    n_postings = int(seg_row["n_postings"] or 0)
+    lineage = {}
+    for group in range(n_groups):
+        with open(_marker_path(out_path, group)) as f:
+            lineage[str(group)] = json.load(f)
+
+    manifest = IndexManifest(
+        version=MANIFEST_VERSION,
+        tokenizer_mode=mode,
+        k1=params.k1,
+        b=params.b,
+        block_range=block_range,
+        n_splits=n_splits,
+        n_docs=n_docs,
+        total_dl=total_dl,
+        n_terms=int(skew_row["n_terms"] or 0),
+        n_postings=n_postings,
+        config_hash=cfg_hash,
+        metrics={
+            "n_segments": int(seg_row["n_segments"] or 0),
+            "payload_bytes": int(seg_row["payload_bytes"] or 0),
+            "bytes_per_posting": (float(seg_row["payload_bytes"]) / n_postings) if n_postings else 0.0,
+            "skew_ratio_max_df_over_mean": (
+                float(skew_row["max_df"]) / float(skew_row["mean_df"])
+                if skew_row["mean_df"]
+                else 0.0
+            ),
+        },
+        lineage=lineage,
+    )
+    manifest.save(out_path)
+    return LoadedIndex(out_path, manifest)

@@ -1,0 +1,150 @@
+"""Deterministic synthetic source-code corpus + query set (FIXTURES.md §1-2).
+
+The engine's own fixture generator: an Iceberg-shaped table
+(repo, path, commit, lang, content) whose contents mix camelCase /
+snake_case identifiers, language keywords and literals under a Zipf
+(s≈1.1) vocabulary so head terms (``import``, ``def``) are genuinely hot —
+the skew the salted merge path must handle (BASELINE.json north_star).
+
+Mirrors the reference's randomized fixtures (test_utils.py:28-29 random
+matrices, seed-fixed) but fully deterministic: seed=42, no wall clock.
+All generation is numpy-vectorized; Spark ingests the result via
+``createDataFrame`` (Arrow path) or a parquet round-trip.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Tuple
+
+import numpy as np
+
+SEED = 42
+LANGS = ["python", "java", "go", "js", "c"]
+LANG_W = [0.40, 0.20, 0.15, 0.15, 0.10]
+EXT = {"python": "py", "java": "java", "go": "go", "js": "js", "c": "c"}
+KEYWORDS = {
+    "python": ["import", "def", "class", "return", "self", "None", "for", "if"],
+    "java": ["import", "public", "class", "static", "void", "return", "new", "final"],
+    "go": ["package", "import", "func", "return", "type", "struct", "defer", "go"],
+    "js": ["import", "function", "const", "return", "class", "let", "async", "await"],
+    "c": ["include", "static", "void", "return", "struct", "int", "char", "sizeof"],
+}
+
+_CAMEL_HEADS = ["get", "set", "parse", "build", "run", "load", "save", "merge",
+                "split", "read", "write", "find", "make", "init", "handle", "emit"]
+_CAMEL_TAILS = ["Index", "Buffer", "Query", "Token", "Result", "Config", "Batch",
+                "Stream", "Node", "Block", "Score", "Cache", "Shard", "Worker"]
+_SNAKE_A = ["doc", "term", "block", "posting", "shard", "partition", "hash",
+            "byte", "file", "row", "query", "score", "merge", "token"]
+_SNAKE_B = ["count", "size", "offset", "limit", "index", "table", "buffer",
+            "stats", "cache", "state", "reader", "writer", "codec", "heap"]
+
+
+def _vocabulary() -> List[str]:
+    """~2,000 deterministic identifiers: keywords first (Zipf head), then
+    camelCase, snake_case, plain words and literals."""
+    vocab: List[str] = []
+    for lang in LANGS:
+        for kw in KEYWORDS[lang]:
+            if kw not in vocab:
+                vocab.append(kw)
+    for h in _CAMEL_HEADS:
+        for t in _CAMEL_TAILS:
+            vocab.append(h + t)                      # 224 camelCase
+    for a in _SNAKE_A:
+        for b in _SNAKE_B:
+            vocab.append(f"{a}_{b}")                 # 196 snake_case
+    rng = np.random.default_rng(SEED)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    for i in range(1200):
+        n = int(rng.integers(3, 10))
+        vocab.append("".join(rng.choice(letters, size=n)) + str(i % 7))
+    for i in range(100):
+        vocab.append(str(int(rng.integers(0, 100000))))  # number literals
+    # dedupe preserving order
+    seen = set()
+    out = []
+    for v in vocab:
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out
+
+
+def _zipf_weights(n: int, s: float = 1.1) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, n + 1, dtype=np.float64), s)
+    return w / w.sum()
+
+
+def synth_corpus(n_docs: int, seed: int = SEED) -> List[Tuple[str, str, str, str, str]]:
+    """Rows (repo, path, commit, lang, content), deterministic in (n_docs, seed)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_vocabulary())
+    weights = _zipf_weights(len(vocab))
+    lang_idx = rng.choice(len(LANGS), size=n_docs, p=LANG_W)
+    n_lines = rng.integers(20, 401, size=n_docs)
+    rows: List[Tuple[str, str, str, str, str]] = []
+    for i in range(n_docs):
+        lang = LANGS[int(lang_idx[i])]
+        repo = f"org{i % 7}/repo{i % 23}"
+        path = f"src/mod{i % 41}/file{i}.{EXT[lang]}"
+        commit = hashlib.sha256(f"commit{i // 50}".encode()).hexdigest()[:40]
+        lines = []
+        for _ in range(int(n_lines[i]) // 4):       # ~4-8 tokens per line
+            k = int(rng.integers(4, 9))
+            toks = rng.choice(vocab, size=k, p=weights)
+            lines.append(" ".join(toks.tolist()))
+        kw = KEYWORDS[lang]
+        content = f"{kw[0]} {kw[1]}\n" + "\n".join(lines)
+        rows.append((repo, path, commit, lang, content))
+    return rows
+
+
+def synth_queries(n_queries: int, seed: int = SEED) -> List[Tuple[int, str]]:
+    """(query_id, query_text): 60% mid-frequency, 25% with one hot keyword,
+    15% with one rare/absent term (FIXTURES.md §2)."""
+    rng = np.random.default_rng(seed + 1)
+    vocab = _vocabulary()
+    hot = vocab[:10]
+    mid = vocab[40:600]
+    out: List[Tuple[int, str]] = []
+    for qid in range(n_queries):
+        n_terms = int(rng.integers(1, 5))
+        r = rng.random()
+        terms = [mid[int(rng.integers(0, len(mid)))] for _ in range(n_terms)]
+        if r >= 0.60 and r < 0.85:
+            terms[0] = hot[int(rng.integers(0, len(hot)))]
+        elif r >= 0.85:
+            terms[0] = f"zz_absent_{qid}" if rng.random() < 0.5 else vocab[-1 - qid % 90]
+        out.append((qid, " ".join(terms)))
+    return out
+
+
+def corpus_df(spark, n_docs: int, seed: int = SEED):
+    """Corpus as a Spark DataFrame with the BASELINE.json input_hint schema."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ])
+    return spark.createDataFrame(synth_corpus(n_docs, seed), schema=schema)
+
+
+def documents_as_corpus(spark, sf_dir: str):
+    """Adapt the driver's documents.parquet (doc_id, text, lang, source,
+    n_chars) to the corpus schema — TESTDATA.md stand-in per FIXTURES.md §1."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

@@ -1,0 +1,109 @@
+"""Index persistence: parquet tables + JSON manifest.
+
+The serialization boundary — analog of flatnav's cereal archive
+(Index::saveIndex/loadIndex, include/flatnav/index/Index.h:442-490): a
+metadata header plus the index payload, with the contract that a reloaded
+index returns identical results for every query
+(include/flatnav/tests/test_serialization.cpp:64-75).
+
+On-disk layout under ``<path>/``:
+
+    manifest.json        schema version, tokenizer mode, BM25 params,
+                         block_range, n_splits, corpus stats (N, avgdl),
+                         build metrics, per-stage checkpoint lineage
+    docs/                (doc_id, repo, path, commit, lang, content_sha, dl)
+                         range-partitioned + sorted by doc_id
+    postings/            (term, block_id, n, docs_bin, tfs_bin, dls_bin,
+                         bmax_tfn) range-partitioned + sorted by
+                         (term, block_id) — the gorder/RCM locality analog
+                         (Reordering.h:26-200): layout chosen so a query's
+                         term lookups hit few row groups
+    stats/               (term, df, cf)
+    _stage1/             per-group build checkpoints (tf runs + doc rows)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+from flatnav_spark.scorer import BM25Params
+
+MANIFEST_VERSION = 1
+
+
+@dataclass
+class IndexManifest:
+    version: int
+    tokenizer_mode: str
+    k1: float
+    b: float
+    block_range: int
+    n_splits: int
+    n_docs: int
+    total_dl: int
+    n_terms: int
+    n_postings: int
+    config_hash: str
+    metrics: dict = field(default_factory=dict)
+    lineage: dict = field(default_factory=dict)
+
+    @property
+    def avgdl(self) -> float:
+        # exact: integer total / integer count, single float64 division —
+        # bit-identical to the reference scorer's computation
+        return float(self.total_dl) / float(self.n_docs) if self.n_docs else 0.0
+
+    @property
+    def params(self) -> BM25Params:
+        return BM25Params(k1=self.k1, b=self.b)
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(asdict(self), f, indent=2, sort_keys=True)
+
+    @staticmethod
+    def load(path: str) -> "IndexManifest":
+        with open(os.path.join(path, "manifest.json")) as f:
+            d = json.load(f)
+        if d.get("version") != MANIFEST_VERSION:
+            raise ValueError(f"unsupported index manifest version {d.get('version')}")
+        return IndexManifest(**d)
+
+
+class LoadedIndex:
+    """Handle to a persisted index; tables open lazily (no data motion)."""
+
+    def __init__(self, path: str, manifest: IndexManifest):
+        self.path = path
+        self.manifest = manifest
+
+    def docs(self, spark):
+        return spark.read.parquet(os.path.join(self.path, "docs"))
+
+    def postings(self, spark):
+        return spark.read.parquet(os.path.join(self.path, "postings"))
+
+    def term_stats(self, spark):
+        return spark.read.parquet(os.path.join(self.path, "stats"))
+
+    def info(self) -> dict:
+        """getIndexSummary analog (Index.h:538-548)."""
+        m = self.manifest
+        return {
+            "path": self.path,
+            "n_docs": m.n_docs,
+            "n_terms": m.n_terms,
+            "n_postings": m.n_postings,
+            "avgdl": m.avgdl,
+            "block_range": m.block_range,
+            "tokenizer_mode": m.tokenizer_mode,
+            "bm25": {"k1": m.k1, "b": m.b},
+            "metrics": m.metrics,
+        }
+
+
+def load_index(path: str) -> LoadedIndex:
+    return LoadedIndex(path, IndexManifest.load(path))

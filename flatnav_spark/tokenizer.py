@@ -1,0 +1,90 @@
+"""Code-aware tokenizer, the analog of flatnav's data transform step
+(``DistanceInterface::transformData``, include/flatnav/distances/
+DistanceInterface.h:40-44): the deterministic function that maps raw input
+into the representation the index stores.
+
+Two modes:
+
+- ``simple``: ``[a-z0-9]+`` runs of ``lower(content)``. Exactly expressible
+  in Spark SQL (``regexp_extract_all``) AND DuckDB — used for the
+  oracle-checked driver-contract queries.
+- ``code`` (default): splits identifiers on non-alphanumerics, then on
+  ``snake_case`` and ``camelCase`` boundaries; emits lowercased subtokens
+  plus the whole lowercased identifier when it had internal structure, so
+  ``parseHTTPResponse`` is findable as ``parse``, ``http``, ``response``
+  and ``parsehttpresponse``.
+
+The tokenizer is a pure function (unit-testable without Spark) wrapped in
+an Arrow-vectorized pandas UDF — never a per-row Python UDF.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List
+
+import pandas as pd
+
+SIMPLE_RE = re.compile(r"[a-z0-9]+")
+RAW_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+# camelCase / acronym / digit-run subtoken splitter:
+#   "parseHTTPResponse2" -> parse, HTTP, Response2 ; "snake_case" -> snake, case
+CAMEL_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+")
+
+TOKENIZER_MODES = ("simple", "code")
+
+
+def tokenize_simple(content: str) -> List[str]:
+    """Lowercase alphanumeric runs. SQL-parity mode."""
+    if not content:
+        return []
+    return SIMPLE_RE.findall(content.lower())
+
+
+def tokenize_code(content: str) -> List[str]:
+    """Identifier-aware tokens: subtokens from camelCase/snake_case splits,
+    plus the whole identifier (lowercased) when it split into >1 part."""
+    if not content:
+        return []
+    out: List[str] = []
+    for raw in RAW_TOKEN_RE.findall(content):
+        parts = CAMEL_RE.findall(raw)
+        if len(parts) > 1:
+            out.extend(p.lower() for p in parts)
+            out.append(raw.replace("_", "").lower())
+        else:
+            out.append(parts[0].lower() if parts else raw.lower())
+    return out
+
+
+_TOKENIZERS = {"simple": tokenize_simple, "code": tokenize_code}
+
+
+def get_tokenizer(mode: str):
+    try:
+        return _TOKENIZERS[mode]
+    except KeyError:  # pragma: no cover
+        raise ValueError(f"unknown tokenizer mode {mode!r}; expected one of {TOKENIZER_MODES}")
+
+
+def tokenize_series(contents: pd.Series, mode: str = "code") -> pd.Series:
+    """Vectorized (per-Arrow-batch) tokenization of a pandas Series of str."""
+    fn = get_tokenizer(mode)
+    return contents.map(lambda c: fn(c) if isinstance(c, str) else [])
+
+
+def tokenize_batch(contents: Iterable[str], mode: str = "code") -> List[List[str]]:
+    fn = get_tokenizer(mode)
+    return [fn(c) if isinstance(c, str) else [] for c in contents]
+
+
+def make_tokenize_udf(mode: str = "code"):
+    """Arrow-vectorized pandas UDF: content:string -> array<string>."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tokenize_udf(contents: pd.Series) -> pd.Series:
+        return tokenize_series(contents, mode)
+
+    return tokenize_udf

@@ -1,0 +1,59 @@
+"""Tokenizer unit tests (pure functions, no Spark) — the analog of the
+reference's kernel-vs-oracle differential tests (test_distances.cpp)."""
+
+import pandas as pd
+
+from flatnav_spark.tokenizer import tokenize_code, tokenize_series, tokenize_simple
+
+
+def test_simple_basic():
+    assert tokenize_simple("Hello, World 42!") == ["hello", "world", "42"]
+
+
+def test_simple_empty_and_none():
+    assert tokenize_simple("") == []
+    assert tokenize_simple("!!! ---") == []
+
+
+def test_code_camel_case():
+    toks = tokenize_code("parseHTTPResponse")
+    assert "parse" in toks and "http" in toks and "response" in toks
+    assert "parsehttpresponse" in toks  # whole identifier retained
+
+
+def test_code_snake_case():
+    toks = tokenize_code("doc_term_count = 5")
+    assert toks[:3] == ["doc", "term", "count"]
+    assert "doctermcount" in toks
+    assert "5" in toks
+
+
+def test_code_plain_words_single_token():
+    # a plain word emits exactly one token (no duplicate whole-token)
+    assert tokenize_code("import") == ["import"]
+    assert tokenize_code("x") == ["x"]
+
+
+def test_code_digit_boundaries():
+    toks = tokenize_code("utf8Decoder2")
+    assert "utf8" in toks and "decoder2" in toks
+
+
+def test_code_acronym_runs():
+    toks = tokenize_code("XMLHttpRequest")
+    assert "xml" in toks and "http" in toks and "request" in toks
+
+
+def test_series_vectorized_matches_scalar():
+    texts = ["camelCase snake_case", "", "plain words here", None]
+    out = tokenize_series(pd.Series(texts), "code").tolist()
+    assert out[0] == tokenize_code("camelCase snake_case")
+    assert out[1] == []
+    assert out[2] == ["plain", "words", "here"]
+    assert out[3] == []
+
+
+def test_determinism():
+    s = "loadIndexBlock foo_bar baz123 QPSCounter"
+    assert tokenize_code(s) == tokenize_code(s)
+    assert tokenize_simple(s) == tokenize_simple(s)
