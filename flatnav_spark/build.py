@@ -115,7 +115,8 @@ def _stage1_group(corpus_split, out_path: str, group: int, n_groups: int,
         spark.read.parquet(os.path.join(gdir, "docs"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("repo", "path", "commit", "content_sha")).alias("fp"),
+            # order-independent, overflow-free content fingerprint
+            F.expr("bit_xor(xxhash64(repo, path, `commit`, content_sha))").alias("fp"),
         )
         .collect()[0]
     )

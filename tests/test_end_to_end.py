@@ -1,0 +1,135 @@
+"""End-to-end build + query parity vs the brute-force reference oracle —
+the translation of the reference's recall test (test_index.py:39-63) made
+EXACT per the north_rule: rank-identical doc_ids AND equal float64 scores.
+
+Also covers the serialization contract (test_serialization.cpp:64-75):
+reload from disk returns identical results; and the per-row sha256
+invariant from the input_hint.
+"""
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flatnav_spark.build import build_index
+from flatnav_spark.corpus import corpus_df, synth_corpus, synth_queries
+from flatnav_spark.index_io import load_index
+from flatnav_spark.query import batch_query
+from flatnav_spark.reference import golden_topk
+
+N_DOCS = 300
+N_QUERIES = 40
+K = 10
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "index")
+    corpus = corpus_df(spark, N_DOCS)
+    index = build_index(corpus, out, mode="code", n_splits=16, n_groups=4,
+                        block_range=64, out_partitions=4)
+    return index, corpus
+
+
+def _engine_topk(spark, index, queries, k=K, prune=True):
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    rows = batch_query(spark, index, qdf, k=k, prune=prune).collect()
+    return sorted((r.query_id, r.rank, r.doc_id, r.score) for r in rows)
+
+
+def _golden(spark, index, corpus, queries, k=K):
+    # map engine doc_ids back to content via the docs table join — also
+    # exercises the (repo, path, commit) identity contract
+    docs = (
+        index.docs(spark)
+        .join(corpus, ["repo", "path", "commit"])
+        .select("doc_id", "content")
+        .collect()
+    )
+    pairs = [(r.doc_id, r.content) for r in docs]
+    assert len(pairs) == N_DOCS
+    return sorted(golden_topk(pairs, queries, k=k, mode="code"))
+
+
+def test_build_manifest_sane(spark, built):
+    index, _ = built
+    m = index.manifest
+    assert m.n_docs == N_DOCS
+    assert m.n_terms > 50
+    assert m.n_postings > m.n_terms
+    assert m.avgdl > 0
+    assert m.metrics["skew_ratio_max_df_over_mean"] > 1.0
+    assert len(m.lineage) == 4
+
+
+def test_doc_ids_unique_and_deterministic(spark, built):
+    index, _ = built
+    docs = index.docs(spark)
+    n = docs.count()
+    assert docs.select("doc_id").distinct().count() == n == N_DOCS
+
+
+def test_sha256_invariant(spark, built):
+    """Per-row content sha256 equality end-to-end (input_hint contract)."""
+    index, corpus = built
+    joined = (
+        index.docs(spark)
+        .join(corpus, ["repo", "path", "commit"])
+        .select("content_sha", F.sha2("content", 256).alias("expected"))
+    )
+    assert joined.filter("content_sha != expected").count() == 0
+    # and spot-check one row against python hashlib
+    row = joined.limit(1).collect()[0]
+    assert len(row.content_sha) == 64
+    sample = corpus.limit(1).collect()[0]
+    assert (
+        hashlib.sha256(sample.content.encode()).hexdigest()
+        == index.docs(spark)
+        .join(corpus.limit(1), ["repo", "path", "commit"])
+        .collect()[0]
+        .content_sha
+    )
+
+
+def test_parity_rank_identical(spark, built):
+    """THE gate: engine top-k == oracle top-k, ranks, ids and float64 scores."""
+    index, corpus = built
+    queries = synth_queries(N_QUERIES)
+    golden = _golden(spark, index, corpus, queries)
+    engine = _engine_topk(spark, index, queries, prune=False)
+    assert engine == golden
+
+
+def test_parity_with_wand_pruning(spark, built):
+    """Block-max WAND must be lossless: identical output with prune=True."""
+    index, corpus = built
+    queries = synth_queries(N_QUERIES)
+    golden = _golden(spark, index, corpus, queries)
+    engine = _engine_topk(spark, index, queries, prune=True)
+    assert engine == golden
+
+
+def test_roundtrip_reload_identical(spark, built, tmp_path):
+    """Serialization contract: load from disk -> identical results."""
+    index, _ = built
+    reloaded = load_index(index.path)
+    assert reloaded.manifest == index.manifest
+    queries = synth_queries(10)
+    a = _engine_topk(spark, index, queries)
+    b = _engine_topk(spark, reloaded, queries)
+    assert a == b
+
+
+def test_absent_term_queries_empty(spark, built):
+    index, _ = built
+    out = _engine_topk(spark, index, [(0, "zzz_never_anywhere_qq")])
+    assert out == []
+
+
+def test_k_truncation(spark, built):
+    index, _ = built
+    out = _engine_topk(spark, index, [(0, "import")], k=3)
+    assert len(out) == 3
+    assert [r[1] for r in out] == [1, 2, 3]
