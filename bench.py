@@ -1,0 +1,127 @@
+"""Benchmark harness — the run-benchmark.py analog
+(/root/reference/experiments/run-benchmark.py:265-359): wall-clock
+build + batched-query measurement, one warm-up excluded, JSON out.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"build": s, "query_batch": s, ...}, "sf": <sf>,
+   "files_per_sec": ..., "qps": ..., ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), FLATNAV_BENCH_QUERIES (default 1000),
+FLATNAV_BENCH_K (default 10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_WARMUP_QUERIES = 8
+
+
+def make_query_set(spark, index, n_queries: int, seed: int = 42):
+    """Deterministic query set drawn from the built index's own vocabulary:
+    60% mid-frequency terms, 25% with a hot term, 15% with a rare/absent
+    term (FIXTURES.md §2)."""
+    import numpy as np
+
+    stats = (
+        index.term_stats(spark)
+        .orderBy("df", "term")
+        .select("term", "df")
+        .collect()
+    )
+    terms = [r.term for r in stats]
+    n = len(terms)
+    hot = terms[-max(n // 100, 1):]
+    mid = terms[n // 3: 2 * n // 3] or terms
+    rare = terms[: max(n // 10, 1)]
+    rng = np.random.default_rng(seed)
+    rows = []
+    for qid in range(n_queries):
+        k_terms = int(rng.integers(1, 5))
+        chosen = [mid[int(rng.integers(0, len(mid)))] for _ in range(k_terms)]
+        r = rng.random()
+        if 0.60 <= r < 0.85:
+            chosen[0] = hot[int(rng.integers(0, len(hot)))]
+        elif r >= 0.85:
+            chosen[0] = rare[int(rng.integers(0, len(rare)))] if rng.random() < 0.5 else f"zzqqabsent{qid}"
+        rows.append((qid, " ".join(chosen)))
+    return rows
+
+
+def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int, keep_index: str | None = None):
+    from flatnav_spark.build import build_index
+    from flatnav_spark.corpus import documents_as_corpus
+    from flatnav_spark.query import batch_query
+    from flatnav_spark.session import get_spark
+
+    spark = get_spark("flatnav_bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    timings: dict[str, float] = {}
+
+    out_dir = keep_index or os.path.join(tempfile.mkdtemp(prefix="flatnav_bench_"), "index")
+    corpus = documents_as_corpus(spark, sf_dir)
+    n_docs = corpus.count()  # warm the scan; excluded from build timing
+
+    t0 = time.perf_counter()
+    index = build_index(
+        corpus, out_dir, mode="code",
+        n_splits=max(cpus * 2, 16), n_groups=4,
+        block_range=1024, out_partitions=max(cpus, 8),
+    )
+    timings["build"] = time.perf_counter() - t0
+
+    queries = make_query_set(spark, index, n_queries)
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+
+    # warm-up (excluded): JIT, python worker spin-up, parquet footer cache
+    warm = spark.createDataFrame(queries[:N_WARMUP_QUERIES], "query_id long, query_text string")
+    batch_query(spark, index, warm, k=k, prune=True).count()
+
+    t0 = time.perf_counter()
+    n_results = batch_query(spark, index, qdf, k=k, prune=True).count()
+    timings["query_batch"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    batch_query(spark, index, qdf, k=k, prune=False).count()
+    timings["query_batch_noprune"] = time.perf_counter() - t0
+
+    result = {
+        "metric": "bm25 index build + batched top-k query wall clock",
+        "value": round(timings["build"] + timings["query_batch"], 3),
+        "unit": "sec",
+        "queries": {k_: round(v, 3) for k_, v in timings.items()},
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "n_queries": n_queries,
+        "k": k,
+        "n_results": n_results,
+        "files_per_sec": round(n_docs / timings["build"], 2),
+        "qps": round(n_queries / timings["query_batch"], 2),
+        "index": index.info(),
+    }
+    spark.stop()
+    if keep_index is None:
+        shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
+    return result
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_queries = int(os.environ.get("FLATNAV_BENCH_QUERIES", "1000"))
+    k = int(os.environ.get("FLATNAV_BENCH_K", "10"))
+    result = run_bench(sf_dir, cpus, n_queries, k)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

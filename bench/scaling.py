@@ -1,0 +1,87 @@
+"""N -> 4N scaling-efficiency harness (BASELINE.md protocol).
+
+Runs the identical build + batched-query job at local[8] and local[32]
+on the same input — the sandbox stand-in for N vs 4N executors per the
+driver's instruction — each in a FRESH JVM (subprocess) so neither run
+inherits the other's JIT/caches, and writes BENCH/BASELINE.md with
+throughput at both parallelism levels and the scaling efficiency
+    eff = (T_N / T_4N) / 4.
+
+Usage:  python bench/scaling.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cpus: int, sf_dir: str, n_queries: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        FLATNAV_BENCH_QUERIES=str(n_queries),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    n_queries = int(os.environ.get("FLATNAV_BENCH_QUERIES", "1000"))
+    n_small, n_large = 8, 32
+
+    r_small = run_at(n_small, sf_dir, n_queries)
+    r_large = run_at(n_large, sf_dir, n_queries)
+
+    rows = []
+    effs = {}
+    for phase in ("build", "query_batch"):
+        t_n = r_small["queries"][phase]
+        t_4n = r_large["queries"][phase]
+        eff = (t_n / t_4n) / (n_large / n_small)
+        effs[phase] = eff
+        thr_unit = "files/sec" if phase == "build" else "QPS"
+        thr_n = r_small["files_per_sec"] if phase == "build" else r_small["qps"]
+        thr_4n = r_large["files_per_sec"] if phase == "build" else r_large["qps"]
+        rows.append((phase, t_n, t_4n, thr_n, thr_4n, thr_unit, eff))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write("# BENCH/BASELINE — measured throughput & N→4N scaling\n\n")
+        f.write(f"Input: `{sf_dir}` ({r_large['n_docs']} files), "
+                f"{n_queries} queries, k={r_large['k']}, "
+                f"tokenizer=code, block_range=1024.\n")
+        f.write(f"Protocol: identical job at local[{n_small}] (N) and "
+                f"local[{n_large}] (4N), fresh JVM each, one excluded "
+                f"warm-up batch; efficiency = (T_N / T_4N) / 4. "
+                f"Sandbox stand-in for N vs 4N executors per driver "
+                f"instruction (BASELINE.md).\n\n")
+        f.write("| phase | T at N=8 (s) | T at 4N=32 (s) | thr @N | thr @4N | unit | scaling eff |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
+        for phase, t_n, t_4n, thr_n, thr_4n, unit, eff in rows:
+            f.write(f"| {phase} | {t_n:.2f} | {t_4n:.2f} | {thr_n:.1f} | "
+                    f"{thr_4n:.1f} | {unit} | {eff:.3f} |\n")
+        f.write("\nTarget: efficiency >= 0.8 for both phases "
+                "(BASELINE.json north_rule).\n\n")
+        f.write("## Raw results\n\n```json\n")
+        f.write(json.dumps({"N8": r_small, "N32": r_large}, indent=2))
+        f.write("\n```\n")
+
+    print(json.dumps({"efficiency": effs, "report": md}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,482 @@
+"""Driver-contract query registry: SURVEY.md §2.6 operator checklist.
+
+Each entry pairs a Spark implementation (DataFrame/SQL over the driver's
+parquet tables at a given sf_dir) with an ANSI-SQL oracle DuckDB can run on
+the same tables. Conventions that make the driver's order-insensitive
+value-hash comparison deterministic across engines:
+
+- every computed column is aliased identically on both sides;
+- float outputs are ROUND(x, 4) (cross-engine float sums differ in the
+  last ulp; 1e-4 rounding absorbs it — both engines compute in float64);
+- rankings order by the ROUNDED score with an explicit id tie-break, so
+  ulp-level differences cannot reorder rows;
+- ints are cast to BIGINT on both sides (Spark row_number is INT, DuckDB's
+  is BIGINT);
+- no timestamp-typed output columns (epoch seconds instead).
+
+The ``engine_bm25_topk`` entry runs the REAL engine (build_index +
+batch_query on a temp dir) against a pure-SQL BM25 oracle — the driver-side
+version of tests/test_end_to_end.py's parity gate.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Callable, Dict, Tuple
+
+# ---------------------------------------------------------------------------
+# fixed query set for the BM25 contract queries (terms from the documents
+# vocabulary; q4 includes an absent term, q5 is single hot term)
+_BM25_QUERIES = [
+    (0, ["spark", "merge"]),
+    (1, ["window", "agg", "sort"]),
+    (2, ["customer", "query"]),
+    (3, ["vector", "stream"]),
+    (4, ["zzqqabsentterm"]),
+    (5, ["table"]),
+    (6, ["hash", "join", "fast"]),
+    (7, ["slow", "filter", "scan", "batch"]),
+]
+_K = 10
+
+_TOK_SPARK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+_TOK_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _values_clause() -> str:
+    rows = ",".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in sorted(set(terms))
+    )
+    return rows
+
+
+def _bm25_sql(dialect: str, with_doc_id: bool) -> str:
+    """Full BM25 (k1=1.2, b=0.75, Lucene idf) over `documents`, top-10 per
+    query, ranked by rounded score with doc_id tie-break."""
+    tok = _TOK_SPARK if dialect == "spark" else _TOK_DUCK
+    explode = (
+        f"SELECT doc_id, explode({tok}) AS term FROM documents"
+        if dialect == "spark"
+        else f"SELECT doc_id, unnest({tok}) AS term FROM documents"
+    )
+    vals = _values_clause()
+    qcte = (
+        f"SELECT * FROM VALUES {vals} AS t(query_id, term)"
+        if dialect == "spark"
+        else f"SELECT * FROM (VALUES {vals}) AS t(query_id, term)"
+    )
+    cols = "rank, doc_id, score" if with_doc_id else "rank, score"
+    return f"""
+WITH toks AS ({explode}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS ({qcte}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))) AS raw
+  FROM q
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(raw, 4) DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, {cols}
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry: name -> (spark_sql or callable, duck_sql or None, tables)
+
+def _registry() -> Dict[str, Tuple[object, str, tuple]]:
+    r: Dict[str, Tuple[object, str, tuple]] = {}
+
+    # S1/scan ✦ — corpus scan + sha256 invariant
+    r["corpus_scan_sha"] = (
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, sha2(text, 256) AS content_sha,
+                  CAST(length(text) AS BIGINT) AS n FROM documents""",
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, sha256(text) AS content_sha,
+                  CAST(length(text) AS BIGINT) AS n FROM documents""",
+        ("documents",),
+    )
+
+    # projection / filter with pushdown ✦
+    r["filter_project"] = (
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents WHERE lang = 'en' AND n_chars > 300""",
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents WHERE lang = 'en' AND n_chars > 300""",
+        ("documents",),
+    )
+
+    # string funcs / tokenizer ✦ — token counting (text-analysis op)
+    r["tokenize_count"] = (
+        f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(size({_TOK_SPARK}) AS BIGINT) AS n_tokens FROM documents""",
+        f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len({_TOK_DUCK}) AS BIGINT) AS n_tokens FROM documents""",
+        ("documents",),
+    )
+
+    # hash aggregation ✦ — per-term document frequency (the df stat)
+    r["term_df"] = (
+        f"""SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+              SELECT DISTINCT doc_id, explode({_TOK_SPARK}) AS term FROM documents
+            ) GROUP BY term""",
+        f"""SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+              SELECT DISTINCT doc_id, unnest({_TOK_DUCK}) AS term FROM documents
+            ) GROUP BY term""",
+        ("documents",),
+    )
+
+    # distinct / approx ✦ — vocabulary size + token totals
+    r["vocab_stats"] = (
+        f"""SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM (SELECT explode({_TOK_SPARK}) AS term FROM documents)""",
+        f"""SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM (SELECT unnest({_TOK_DUCK}) AS term FROM documents)""",
+        ("documents",),
+    )
+
+    # broadcast join ✦ — per-doc dl vs broadcast corpus stats (B4 analog)
+    r["broadcast_stats_join"] = (
+        f"""WITH dl AS (SELECT doc_id, size({_TOK_SPARK}) AS dl FROM documents),
+                 s AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl FROM dl)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dl AS BIGINT) AS dl,
+                   round(dl / s.avgdl, 4) AS dl_ratio
+            FROM dl CROSS JOIN s""",
+        f"""WITH dl AS (SELECT doc_id, len({_TOK_DUCK}) AS dl FROM documents),
+                 s AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl FROM dl)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dl AS BIGINT) AS dl,
+                   round(dl / s.avgdl, 4) AS dl_ratio
+            FROM dl CROSS JOIN s""",
+        ("documents",),
+    )
+
+    # flagship: SQL-expressed BM25 top-k (hash join + agg + window) ✦
+    r["bm25_topk_sql"] = (
+        _bm25_sql("spark", with_doc_id=True),
+        _bm25_sql("duck", with_doc_id=True),
+        ("documents",),
+    )
+
+    # window ranking ✦
+    r["window_rank_docs"] = (
+        """SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rn FROM (
+             SELECT lang, doc_id,
+                    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+             FROM documents) WHERE rn <= 3""",
+        """SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rn FROM (
+             SELECT lang, doc_id,
+                    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+             FROM documents) t WHERE rn <= 3""",
+        ("documents",),
+    )
+
+    # rollup ✦
+    r["rollup_lang_source"] = (
+        """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+                  CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY ROLLUP (lang, source)""",
+        """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+                  CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY ROLLUP (lang, source)""",
+        ("documents",),
+    )
+
+    # union ✦
+    r["union_distinct"] = (
+        """SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM (
+             SELECT doc_id FROM documents WHERE n_chars > 400
+             UNION ALL
+             SELECT doc_id FROM documents WHERE source = 'src1')""",
+        """SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM (
+             SELECT doc_id FROM documents WHERE n_chars > 400
+             UNION ALL
+             SELECT doc_id FROM documents WHERE source = 'src1') t""",
+        ("documents",),
+    )
+
+    # multi-term AND (posting intersection) ✦
+    r["multi_term_and"] = (
+        f"""SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
+              SELECT doc_id, {_TOK_SPARK} AS toks FROM documents)
+            WHERE array_contains(toks, 'spark') AND array_contains(toks, 'merge')""",
+        f"""SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
+              SELECT doc_id, {_TOK_DUCK} AS toks FROM documents) t
+            WHERE list_contains(toks, 'spark') AND list_contains(toks, 'merge')""",
+        ("documents",),
+    )
+
+    # anti join ✦ — incremental re-index: docs not yet indexed
+    r["anti_join_new_docs"] = (
+        """SELECT CAST(d.doc_id AS BIGINT) AS doc_id FROM documents d
+           LEFT ANTI JOIN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) i
+           ON d.doc_id = i.doc_id""",
+        """SELECT CAST(d.doc_id AS BIGINT) AS doc_id FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM documents i
+                             WHERE i.doc_id % 3 = 0 AND i.doc_id = d.doc_id)""",
+        ("documents",),
+    )
+
+    # classic relational agg over lineitem (partial+final agg, math) ✦
+    r["lineitem_pricing_summary"] = (
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(l_quantity), 2) AS sum_qty,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+           GROUP BY l_returnflag, l_linestatus""",
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(l_quantity), 2) AS sum_qty,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+           GROUP BY l_returnflag, l_linestatus""",
+        ("lineitem",),
+    )
+
+    # join + agg (orders ⋈ customer) ✦
+    r["orders_by_segment"] = (
+        """SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_orders,
+                  round(sum(o.o_totalprice), 2) AS total
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY c.c_mktsegment""",
+        """SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_orders,
+                  round(sum(o.o_totalprice), 2) AS total
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY c.c_mktsegment""",
+        ("orders", "customer"),
+    )
+
+    # exact percentiles (latency-stat analog, metrics.py:80-114) ✦
+    r["event_value_percentiles"] = (
+        """SELECT event_type,
+                  round(percentile(value, 0.5), 4) AS p50,
+                  round(percentile(value, 0.95), 4) AS p95,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type""",
+        """SELECT event_type,
+                  round(quantile_cont(value, 0.5), 4) AS p50,
+                  round(quantile_cont(value, 0.95), 4) AS p95,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type""",
+        ("events",),
+    )
+
+    # time bucketing (streaming-window analog, epoch seconds out) ✦
+    r["events_hourly"] = (
+        """SELECT CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+           FROM events GROUP BY date_trunc('hour', ts), event_type""",
+        """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+           FROM events GROUP BY date_trunc('hour', ts), event_type""",
+        ("events",),
+    )
+
+    # exact dedup by content hash (training-pipeline op) ✦
+    r["dedup_exact"] = (
+        """SELECT content_sha, CAST(count(*) AS BIGINT) AS n_dups,
+                  CAST(min(doc_id) AS BIGINT) AS keeper
+           FROM (SELECT doc_id, sha2(text, 256) AS content_sha FROM documents)
+           GROUP BY content_sha HAVING count(*) > 1""",
+        """SELECT content_sha, CAST(count(*) AS BIGINT) AS n_dups,
+                  CAST(min(doc_id) AS BIGINT) AS keeper
+           FROM (SELECT doc_id, sha256(text) AS content_sha FROM documents) t
+           GROUP BY content_sha HAVING count(*) > 1""",
+        ("documents",),
+    )
+
+    # n-gram (token-set) Jaccard near-dup pairs (training-pipeline op) ✦
+    r["near_dup_jaccard"] = (
+        f"""WITH toks AS (SELECT DISTINCT doc_id, explode({_TOK_SPARK}) AS term
+                          FROM documents WHERE doc_id < 30),
+                 card AS (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                           FROM toks a JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
+                           GROUP BY a.doc_id, b.doc_id)
+            SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+                   round(i * 1.0 / (ca.c + cb.c - i), 4) AS jaccard
+            FROM inter JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+            WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.8""",
+        f"""WITH toks AS (SELECT DISTINCT doc_id, unnest({_TOK_DUCK}) AS term
+                          FROM documents WHERE doc_id < 30),
+                 card AS (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                           FROM toks a JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
+                           GROUP BY a.doc_id, b.doc_id)
+            SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+                   round(i * 1.0 / (ca.c + cb.c - i), 4) AS jaccard
+            FROM inter JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+            WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.8""",
+        ("documents",),
+    )
+
+    # MinHash signatures + LSH band bucket (training-pipeline op) ✦
+    minhash_cols = ",\n".join(
+        f"min(md5(concat('s{i}:', term))) AS mh{i}" for i in range(4)
+    )
+    minhash_cols_spark = minhash_cols_duck = minhash_cols
+    r["minhash_lsh"] = (
+        f"""WITH toks AS (SELECT DISTINCT doc_id, explode({_TOK_SPARK}) AS term FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {minhash_cols_spark},
+                   substring(min(md5(concat('s0:', term))), 1, 8) AS band0
+            FROM toks GROUP BY doc_id""",
+        f"""WITH toks AS (SELECT DISTINCT doc_id, unnest({_TOK_DUCK}) AS term FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {minhash_cols_duck},
+                   substring(min(md5(concat('s0:', term))), 1, 8) AS band0
+            FROM toks GROUP BY doc_id""",
+        ("documents",),
+    )
+
+    # document fingerprint: md5 of the sorted distinct token set ✦
+    r["doc_fingerprint"] = (
+        f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   md5(concat_ws(' ', array_sort(array_distinct({_TOK_SPARK})))) AS fp
+            FROM documents""",
+        f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   md5(array_to_string(list_sort(list_distinct({_TOK_DUCK})), ' ')) AS fp
+            FROM documents""",
+        ("documents",),
+    )
+
+    # text quality scoring (training-pipeline op) ✦
+    r["text_quality"] = (
+        f"""WITH t AS (SELECT doc_id, text, {_TOK_SPARK} AS toks FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(size(toks) AS BIGINT) AS n_tokens,
+                   round(length(concat_ws('', toks)) * 1.0 / size(toks), 4) AS avg_tok_len,
+                   round(size(filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+                         / size(toks), 4) AS stopword_ratio
+            FROM t WHERE size(toks) > 0""",
+        f"""WITH t AS (SELECT doc_id, text, {_TOK_DUCK} AS toks FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(length(array_to_string(toks, '')) * 1.0 / len(toks), 4) AS avg_tok_len,
+                   round(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+                         / len(toks), 4) AS stopword_ratio
+            FROM t WHERE len(toks) > 0""",
+        ("documents",),
+    )
+
+    # brute-force cosine top-k over embeddings (similarity-search op) ✦
+    r["embedding_cosine_topk"] = (
+        """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+                dots AS (
+                  SELECT q.qid, e.vec_id,
+                         aggregate(zip_with(q.qe, e.embedding,
+                                   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dot,
+                         sqrt(aggregate(transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS nq,
+                         sqrt(aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS ne
+                  FROM q CROSS JOIN embeddings e),
+                ranked AS (
+                  SELECT qid, vec_id, round(dot / (nq * ne), 4) AS cos,
+                         CAST(row_number() OVER (PARTITION BY qid
+                              ORDER BY round(dot / (nq * ne), 4) DESC, vec_id) AS BIGINT) AS rank
+                  FROM dots)
+           SELECT CAST(qid AS BIGINT) AS qid, rank, CAST(vec_id AS BIGINT) AS vec_id, cos
+           FROM ranked WHERE rank <= 5""",
+        """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+                dots AS (
+                  SELECT q.qid, e.vec_id,
+                         list_sum(list_transform(range(1, 65),
+                                  i -> qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS dot,
+                         sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE))) AS nq,
+                         sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) AS ne
+                  FROM q CROSS JOIN embeddings e),
+                ranked AS (
+                  SELECT qid, vec_id, round(dot / (nq * ne), 4) AS cos,
+                         CAST(row_number() OVER (PARTITION BY qid
+                              ORDER BY round(dot / (nq * ne), 4) DESC, vec_id) AS BIGINT) AS rank
+                  FROM dots)
+           SELECT CAST(qid AS BIGINT) AS qid, rank, CAST(vec_id AS BIGINT) AS vec_id, cos
+           FROM ranked WHERE rank <= 5""",
+        ("embeddings",),
+    )
+
+    return r
+
+
+def _ensure_views(spark, sf_dir: str, tables: tuple) -> None:
+    for t in tables:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
+
+
+def _make_sql_query(sql: str, tables: tuple) -> Callable:
+    def run(spark, sf_dir: str):
+        _ensure_views(spark, sf_dir, tables)
+        return spark.sql(sql)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# the real-engine parity entry: build a temp index over documents-as-corpus
+# and batch_query it; oracle is the pure-SQL BM25 (scores only, so the
+# engine's internal doc_id remapping is irrelevant to the compare)
+
+_ENGINE_CACHE: dict = {}
+
+
+def _engine_index_for(spark, sf_dir: str):
+    from flatnav_spark.build import build_index
+    from flatnav_spark.corpus import documents_as_corpus
+
+    key = os.path.abspath(sf_dir)
+    if key in _ENGINE_CACHE and os.path.exists(_ENGINE_CACHE[key].path):
+        return _ENGINE_CACHE[key]
+    out = os.path.join(tempfile.mkdtemp(prefix="flatnav_idx_"), "index")
+    corpus = documents_as_corpus(spark, sf_dir)
+    idx = build_index(corpus, out, mode="simple", n_splits=16, n_groups=2,
+                      block_range=256, out_partitions=4)
+    _ENGINE_CACHE[key] = idx
+    return idx
+
+
+def engine_bm25_topk(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from flatnav_spark.query import batch_query
+
+    idx = _engine_index_for(spark, sf_dir)
+    qrows = [(qid, " ".join(terms)) for qid, terms in _BM25_QUERIES]
+    qdf = spark.createDataFrame(qrows, "query_id long, query_text string")
+    res = batch_query(spark, idx, qdf, k=_K, prune=True)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+def build_queries() -> Dict[str, Callable]:
+    out: Dict[str, Callable] = {}
+    for name, (spark_sql, _duck, tables) in _registry().items():
+        out[name] = _make_sql_query(spark_sql, tables)
+    out["engine_bm25_topk"] = engine_bm25_topk
+    return out
+
+
+def build_oracles() -> Dict[str, str]:
+    out: Dict[str, str] = {}
+    for name, (_spark, duck_sql, _tables) in _registry().items():
+        out[name] = duck_sql
+    out["engine_bm25_topk"] = _bm25_sql("duck", with_doc_id=False)
+    return out
