@@ -1,43 +1,42 @@
 """Batched BM25 top-k query — the analog of flatnav's batched ``search``
 (python-bindings/src/flatnav/bindings.cpp:161-228: thread fan-out over
 queries against a shared read-only index). Here the read-only index is the
-postings parquet and the fan-out is Spark task parallelism.
+postings parquet, the fan-out is Spark task parallelism over posting
+blocks, and the per-query state is a numpy top-k heap per task.
 
-Plan shape (one wide shuffle on the hot path):
+Plan shape — ONE shuffle on the hot path, no join:
 
-  1. tokenize queries with the index's tokenizer (same UDF as build)
-  2. distinct (query_id, term); join term_stats for df; collect the tiny
-     distinct-term list to push ``term IN (...)`` into the parquet scan
-     (row-group pruning on the term-sorted postings layout)
-  3. postings ⋈ broadcast(query terms) on term
-  4. groupBy(query_id, block_id) → applyInPandas exact scorer.
-     Because block_id = doc_id // block_range is term-independent, every
-     posting of a given doc lands in the same group — a doc's full score
-     is computed in exactly one task, in float64, in ascending term order
-     (the determinism contract shared with flatnav_spark.reference).
-     Per-group local top-k bounds shuffle output to k rows per block.
-  5. final window: row_number() over (partition by query_id
-     order by score desc, doc_id asc) <= k   (the Q4 sort+truncate analog,
-     Index.h:402-406, with explicit tie-breaking)
+  1. tokenize queries with the index's tokenizer (same UDF as build),
+     join term_stats for df — the query-term table is tiny (bounded by the
+     query batch), so it is collected and closure-broadcast to every task,
+     the analog of flatnav's shared read-only index + per-thread queries.
+  2. postings scan with a literal ``term IN (...)`` filter (row-group
+     pruning on the term-sorted layout) — only segments of query terms
+     are read and shuffled.
+  3. repartition by block_id, sortWithinPartitions(block_id, term),
+     mapInPandas scorer: each task walks its blocks in order; per block it
+     decodes every needed segment ONCE and accumulates contributions for
+     all queries (vectorized per (term, query) pair, ascending term order
+     per doc — the determinism contract shared with
+     flatnav_spark.reference). Because block_id = doc_id // block_range is
+     term-independent, a doc's full score is computed in exactly one task.
+  4. per-task per-query top-k (k rows out per query per task), then a
+     final window row_number() over (score desc, doc_id asc) <= k — the
+     Q4 sort+truncate analog (Index.h:402-406) with explicit tie-breaking.
 
 Block-max WAND pruning (``prune=True``) — the early-termination analog of
-beamSearch's ``max_dist`` cutoff (Index.h:630-632), lossless:
-
-  phase 0: per (query, block) upper bound from segment metadata only
-           (sum of idf * bmax_tfn, no decode), inflated by a float-safety
-           margin so the bound provably dominates any summation order
-  phase 1: score just enough highest-bound blocks to cover >= k docs,
-           establishing a per-query threshold t_k (a true lower bound of
-           the k-th best score)
-  phase 2: score remaining blocks only where ub >= t_k; union; final top-k
-
-Accumulators report blocks_scored / blocks_pruned (the
-``_distance_computations`` analog, Index.h:83-84).
+beamSearch's ``max_dist`` cutoff (Index.h:630-632), lossless and
+SINGLE-pass: within a task, the per-query threshold t_k from blocks
+already scored only grows; a later block whose metadata upper bound
+(sum of idf * bmax_tfn over the query's terms, float-safety inflated)
+is strictly below t_k provably cannot change the top-k — the global
+k-th score is >= any task-local k-th score. Skipped work is counted via
+accumulators (the ``_distance_computations`` analog, Index.h:83-84).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -45,6 +44,7 @@ import pandas as pd
 from flatnav_spark.codec import decode_gaps, varint_decode
 from flatnav_spark.index_io import LoadedIndex
 from flatnav_spark.scorer import idf as idf_fn
+from flatnav_spark.scorer import tf_norm
 from flatnav_spark.tokenizer import make_tokenize_udf
 
 # multiplicative + absolute inflation of upper bounds: guards against
@@ -54,56 +54,162 @@ _UB_REL = 1e-9
 _UB_ABS = 1e-12
 
 
-def _make_block_scorer(n_docs: int, avgdl: float, params, block_range: int,
-                       k: int, acc_scored=None):
-    """applyInPandas kernel: one (query_id, block_id) group of posting
-    segments -> local top-k (query_id, doc_id, score) rows."""
-    from flatnav_spark.scorer import tf_norm
+class _TopK:
+    """Per-query bounded result set with (score desc, doc_id asc) order."""
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(pdf["query_id"].iloc[0])
-        block_id = int(pdf["block_id"].iloc[0])
-        base = block_id * block_range
-        acc = np.zeros(block_range, dtype=np.float64)
-        seen = np.zeros(block_range, dtype=bool)
-        # ascending term order => deterministic per-doc summation order
-        pdf = pdf.sort_values("term", kind="mergesort")
-        for row in pdf.itertuples(index=False):
-            ids = decode_gaps(row.docs_bin, base)
-            tfs = varint_decode(row.tfs_bin).astype(np.int64)
-            dls = varint_decode(row.dls_bin).astype(np.int64)
-            w = float(idf_fn(np.array([row.df]), n_docs)[0])
-            contrib = w * tf_norm(tfs, dls, avgdl, params)
-            li = ids - base
-            acc[li] += contrib  # unique indices per term: exact single adds
-            seen[li] = True
-        li = np.flatnonzero(seen)
-        if li.size == 0:
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+    __slots__ = ("k", "doc_ids", "scores")
+
+    def __init__(self, k: int):
+        self.k = k
+        self.doc_ids = np.empty(0, dtype=np.int64)
+        self.scores = np.empty(0, dtype=np.float64)
+
+    def push(self, doc_ids: np.ndarray, scores: np.ndarray) -> None:
+        d = np.concatenate([self.doc_ids, doc_ids])
+        s = np.concatenate([self.scores, scores])
+        order = np.lexsort((d, -s))[: self.k]
+        self.doc_ids, self.scores = d[order], s[order]
+
+    def threshold(self) -> float:
+        """Score a candidate must beat (or tie) to enter: the k-th score,
+        or -inf while the set is not full."""
+        if self.scores.size < self.k:
+            return -np.inf
+        return float(self.scores[-1])
+
+
+def _make_partition_scorer(
+    qmap: Dict[str, List[Tuple[int, float]]],
+    query_ids: np.ndarray,
+    n_docs: int,
+    avgdl: float,
+    params,
+    block_range: int,
+    k: int,
+    prune: bool,
+    acc_blocks_scored=None,
+    acc_blocks_pruned=None,
+):
+    """mapInPandas kernel over a block_id-partitioned, (block_id, term)-
+    sorted stream of posting segments. Memory per task: O(block_range ×
+    n_queries_active) float64 for the accumulator — bound the query batch
+    size upstream for very large Q."""
+    n_q = len(query_ids)
+
+    def score_partition(batches):
+        topk = [_TopK(k) for _ in range(n_q)]
+        n_scored = 0
+        n_pruned = 0
+
+        def do_block(pdf: pd.DataFrame) -> None:
+            nonlocal n_scored, n_pruned
+            block_id = int(pdf["block_id"].iloc[0])
+            base = block_id * block_range
+            terms = pdf["term"].to_numpy()
+            bmaxes = pdf["bmax_tfn"].to_numpy(np.float64)
+
+            # metadata-only per-query upper bound for this block
+            ub = np.zeros(n_q, dtype=np.float64)
+            for t_i in range(len(terms)):
+                entry = qmap.get(terms[t_i])
+                if not entry:
+                    continue
+                for q_idx, w in entry:
+                    ub[q_idx] += w * bmaxes[t_i]
+            present = ub > 0  # queries with at least one term in this block
+            ub[present] = ub[present] * (1.0 + _UB_REL) + _UB_ABS
+
+            if prune:
+                active = np.array(
+                    [present[q] and ub[q] >= topk[q].threshold() for q in range(n_q)],
+                    dtype=bool,
+                )
+            else:
+                active = present
+            if not active.any():
+                n_pruned += 1
+                return
+            n_scored += 1
+
+            acc = np.zeros((block_range, n_q), dtype=np.float64)
+            seen = np.zeros((block_range, n_q), dtype=bool)
+            # rows arrive term-ascending (sortWithinPartitions) — per-doc
+            # accumulation order matches the reference scorer exactly
+            for row in pdf.itertuples(index=False):
+                entry = qmap.get(row.term)
+                if not entry:
+                    continue
+                targets = [(q, w) for q, w in entry if active[q]]
+                if not targets:
+                    continue
+                ids = decode_gaps(row.docs_bin, base)
+                tfs = varint_decode(row.tfs_bin).astype(np.int64)
+                dls = varint_decode(row.dls_bin).astype(np.int64)
+                tfn = tf_norm(tfs, dls, avgdl, params)
+                li = ids - base
+                for q_idx, w in targets:
+                    acc[li, q_idx] += w * tfn
+                    seen[li, q_idx] = True
+
+            for q_idx in np.flatnonzero(active):
+                rows = np.flatnonzero(seen[:, q_idx])
+                if rows.size == 0:
+                    continue
+                topk[q_idx].push(rows + base, acc[rows, q_idx])
+
+        carry: Optional[pd.DataFrame] = None
+        for batch in batches:
+            pdf = pd.concat([carry, batch]) if carry is not None else batch
+            if pdf.empty:
+                carry = None
+                continue
+            last = pdf["block_id"].iloc[-1]
+            head = pdf[pdf["block_id"] != last]
+            carry = pdf[pdf["block_id"] == last]
+            if not head.empty:
+                for _, grp in head.groupby("block_id", sort=True):
+                    do_block(grp)
+        if carry is not None and not carry.empty:
+            do_block(carry)
+
+        if acc_blocks_scored is not None:
+            acc_blocks_scored.add(n_scored)
+        if acc_blocks_pruned is not None:
+            acc_blocks_pruned.add(n_pruned)
+
+        out_q, out_d, out_s = [], [], []
+        for q_idx in range(n_q):
+            t = topk[q_idx]
+            if t.doc_ids.size:
+                out_q.append(np.full(t.doc_ids.size, query_ids[q_idx], dtype=np.int64))
+                out_d.append(t.doc_ids)
+                out_s.append(t.scores)
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "doc_id": np.concatenate(out_d),
+                    "score": np.concatenate(out_s),
+                }
             )
-        scores = acc[li]
-        doc_ids = li + base
-        if li.size > k:
-            # top-k by (-score, doc_id): lexsort keys are last-key-primary
-            order = np.lexsort((doc_ids, -scores))[:k]
         else:
-            order = np.lexsort((doc_ids, -scores))
-        if acc_scored is not None:
-            acc_scored.add(len(pdf))
-        return pd.DataFrame(
-            {"query_id": qid, "doc_id": doc_ids[order], "score": scores[order]}
-        )
+            yield pd.DataFrame(
+                {
+                    "query_id": np.empty(0, dtype=np.int64),
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "score": np.empty(0, dtype=np.float64),
+                }
+            )
 
-    return score
+    return score_partition
 
 
 def _query_terms(spark, index: LoadedIndex, queries_df):
-    """(query_id, term, df) for terms that exist in the index.
+    """(query_id, term, df) for query terms that exist in the index.
 
     The broadcast of the (tiny) query-term set into the term_stats join is
     the analog of flatnav's broadcastable entry-point stats (B4,
-    Index.h:845-870): per-query global knowledge shipped to every worker."""
+    Index.h:845-870)."""
     from pyspark.sql import functions as F
 
     tokenize = make_tokenize_udf(index.manifest.tokenizer_mode)
@@ -121,8 +227,9 @@ def batch_query(
     queries_df,
     k: int = 10,
     prune: bool = True,
+    num_partitions: Optional[int] = None,
     collect_metrics: bool = False,
-) -> "DataFrame":
+):
     """Top-k BM25 for a DataFrame of (query_id, query_text).
 
     Returns (query_id, rank, doc_id, score) — rank 1-based, score desc,
@@ -132,70 +239,35 @@ def batch_query(
     from pyspark.sql import functions as F
 
     m = index.manifest
-    qt = _query_terms(spark, index, queries_df)
+    # driver-side collect of the query-term table: bounded by the query
+    # batch (|queries| × |terms per query|), never by corpus size
+    qt_rows = _query_terms(spark, index, queries_df).collect()
+    if not qt_rows:
+        return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
 
-    # tiny driver-side collect: the query set's distinct terms, pushed into
-    # the parquet scan as a literal IN-filter for row-group pruning
-    terms = [r["term"] for r in qt.select("term").distinct().collect()]
-    if not terms:
-        return spark.createDataFrame(
-            [], "query_id long, rank int, doc_id long, score double"
-        )
+    qids = sorted({r["query_id"] for r in qt_rows})
+    q_index = {q: i for i, q in enumerate(qids)}
+    qmap: Dict[str, List[Tuple[int, float]]] = {}
+    for r in qt_rows:
+        w = float(idf_fn(np.array([r["df"]]), m.n_docs)[0])
+        qmap.setdefault(r["term"], []).append((q_index[r["query_id"]], w))
+    terms = sorted(qmap.keys())
 
     postings = index.postings(spark).filter(F.col("term").isin(terms))
-    joined = postings.join(F.broadcast(qt), "term")
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
 
-    acc_scored = spark.sparkContext.accumulator(0) if collect_metrics else None
-    scorer = _make_block_scorer(m.n_docs, m.avgdl, m.params, m.block_range, k, acc_scored)
-    out_schema = "query_id long, doc_id long, score double"
-
-    if prune:
-        # ---- phase 0: metadata-only upper bounds per (query, block) ----
-        idf_col = F.log1p((F.lit(float(m.n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        meta = joined.select(
-            "query_id", "block_id", "term", "n", "df", "docs_bin", "tfs_bin", "dls_bin",
-            (idf_col * F.col("bmax_tfn")).alias("ub_term"),
-        )
-        ub = meta.groupBy("query_id", "block_id").agg(
-            F.sum("ub_term").alias("ub_raw"), F.max("n").alias("max_n")
-        ).withColumn("ub", F.col("ub_raw") * (1.0 + _UB_REL) + _UB_ABS)
-
-        # ---- phase 1: score enough best blocks to cover >= k docs ----
-        w_ub = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("block_id"))
-        ub = ub.withColumn(
-            "cum_docs_before",
-            F.coalesce(
-                F.sum("max_n").over(w_ub.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-            ),
-        ).withColumn("phase1", F.col("cum_docs_before") < k)
-
-        sel = joined.join(ub.select("query_id", "block_id", "ub", "phase1"),
-                          ["query_id", "block_id"])
-        p1_rows = sel.filter("phase1")
-        p1_scores = (
-            p1_rows.groupBy("query_id", "block_id")
-            .applyInPandas(scorer, out_schema)
-            .persist()  # consumed twice: threshold derivation + final union
-        )
-
-        w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        p1_ranked = p1_scores.withColumn("r", F.row_number().over(w_rank))
-        thresholds = (
-            p1_ranked.filter(F.col("r") == k)
-            .select("query_id", F.col("score").alias("t_k"))
-        )
-
-        # ---- phase 2: remaining blocks that can still beat t_k ----
-        p2_rows = (
-            sel.filter(~F.col("phase1"))
-            .join(F.broadcast(thresholds), "query_id", "left")
-            .filter(F.col("t_k").isNull() | (F.col("ub") >= F.col("t_k")))
-            .drop("t_k")
-        )
-        p2_scores = p2_rows.groupBy("query_id", "block_id").applyInPandas(scorer, out_schema)
-        cand = p1_scores.unionByName(p2_scores)
-    else:
-        cand = joined.groupBy("query_id", "block_id").applyInPandas(scorer, out_schema)
+    acc_s = spark.sparkContext.accumulator(0) if collect_metrics else None
+    acc_p = spark.sparkContext.accumulator(0) if collect_metrics else None
+    scorer = _make_partition_scorer(
+        qmap, np.array(qids, dtype=np.int64), m.n_docs, m.avgdl, m.params,
+        m.block_range, k, prune, acc_s, acc_p,
+    )
+    cand = (
+        postings.repartition(num_partitions, "block_id")
+        .sortWithinPartitions("block_id", "term")
+        .mapInPandas(scorer, "query_id long, doc_id long, score double")
+    )
 
     w_final = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     result = (
@@ -203,4 +275,6 @@ def batch_query(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
     )
+    if collect_metrics:
+        result._flatnav_accumulators = {"blocks_scored": acc_s, "blocks_pruned": acc_p}
     return result
