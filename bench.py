@@ -57,9 +57,24 @@ def make_query_set(spark, index, n_queries: int, seed: int = 42):
     return rows
 
 
-def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int, keep_index: str | None = None):
+def _get_corpus(spark, sf_dir: str, spec: str):
+    """Corpus source: 'documents' (driver tables at sf_dir) or 'synth:<n>'
+    (the deterministic 2k-vocab code corpus, cached as parquet so repeated
+    runs at different parallelism read identical bytes)."""
+    from flatnav_spark.corpus import corpus_df, documents_as_corpus
+
+    if spec.startswith("synth:"):
+        n = int(spec.split(":", 1)[1])
+        cache = f"/tmp/flatnav_synth_{n}_s42/corpus.parquet"
+        if not os.path.exists(cache):
+            corpus_df(spark, n).repartition(8).write.mode("overwrite").parquet(cache)
+        return spark.read.parquet(cache)
+    return documents_as_corpus(spark, sf_dir)
+
+
+def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
+              corpus_spec: str = "documents", keep_index: str | None = None):
     from flatnav_spark.build import build_index
-    from flatnav_spark.corpus import documents_as_corpus
     from flatnav_spark.query import batch_query
     from flatnav_spark.session import get_spark
 
@@ -67,13 +82,15 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int, keep_index: str | 
     timings: dict[str, float] = {}
 
     out_dir = keep_index or os.path.join(tempfile.mkdtemp(prefix="flatnav_bench_"), "index")
-    corpus = documents_as_corpus(spark, sf_dir)
+    corpus = _get_corpus(spark, sf_dir, corpus_spec)
     n_docs = corpus.count()  # warm the scan; excluded from build timing
 
     t0 = time.perf_counter()
+    # n_groups=2: two checkpointable units (resume still exercised) without
+    # paying 4× sequential job-scheduling overhead at bench scale
     index = build_index(
         corpus, out_dir, mode="code",
-        n_splits=max(cpus * 2, 16), n_groups=4,
+        n_splits=max(cpus * 2, 16), n_groups=2,
         block_range=1024, out_partitions=max(cpus, 8),
     )
     timings["build"] = time.perf_counter() - t0
@@ -99,6 +116,7 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int, keep_index: str | 
         "unit": "sec",
         "queries": {k_: round(v, 3) for k_, v in timings.items()},
         "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "corpus": corpus_spec,
         "cpus": cpus,
         "n_docs": n_docs,
         "n_queries": n_queries,
@@ -119,7 +137,8 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_queries = int(os.environ.get("FLATNAV_BENCH_QUERIES", "1000"))
     k = int(os.environ.get("FLATNAV_BENCH_K", "10"))
-    result = run_bench(sf_dir, cpus, n_queries, k)
+    corpus_spec = os.environ.get("FLATNAV_BENCH_CORPUS", "documents")
+    result = run_bench(sf_dir, cpus, n_queries, k, corpus_spec)
     print(json.dumps(result))
 
 

@@ -26,6 +26,9 @@ def run_at(cpus: int, sf_dir: str, n_queries: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         FLATNAV_BENCH_QUERIES=str(n_queries),
+        # the 50k-doc deterministic code corpus (FIXTURES.md §5): large
+        # enough that compute, not job-scheduling overhead, dominates
+        FLATNAV_BENCH_CORPUS=os.environ.get("FLATNAV_BENCH_CORPUS", "synth:50000"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -49,10 +49,9 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-from flatnav_spark.codec import encode_gaps, varint_encode
 from flatnav_spark.index_io import MANIFEST_VERSION, IndexManifest, LoadedIndex
 from flatnav_spark.scorer import BM25Params, tf_norm
-from flatnav_spark.tokenizer import make_tokenize_udf
+from flatnav_spark.tokenizer import make_tfmap_udf
 
 DEFAULT_BLOCK_RANGE = 4096
 DEFAULT_N_SPLITS = 64
@@ -87,30 +86,48 @@ def _stage1_group(corpus_split, out_path: str, group: int, n_groups: int,
     from pyspark.sql import functions as F
 
     gdir = os.path.join(out_path, _STAGE1, f"group={group}")
+    spark = corpus_split.sparkSession
     sub = corpus_split.filter(F.pmod(F.col("split"), F.lit(n_groups)) == group)
 
     w = Window.partitionBy("split").orderBy("repo", "path", "commit")
-    tokenize = make_tokenize_udf(mode)
-    docs_tok = (
-        sub.withColumn("ordinal", F.row_number().over(w))
-        .withColumn("doc_id", (F.col("ordinal") - 1) * F.lit(int(n_splits)) + F.col("split"))
-        .withColumn("tokens", tokenize(F.col("content")))
-        .withColumn("dl", F.size("tokens").cast("long"))
-        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+    tfmap = make_tfmap_udf(mode)
+    base = sub.withColumn("ordinal", F.row_number().over(w)).withColumn(
+        "doc_id", (F.col("ordinal") - 1) * F.lit(int(n_splits)) + F.col("split")
     )
 
-    docs_out = docs_tok.select("doc_id", "repo", "path", "commit", "lang", "content_sha", "dl")
-    docs_out.write.mode("overwrite").parquet(os.path.join(gdir, "docs"))
-
+    # single tokenizer pass: UDF emits pre-counted (term -> tf) maps; dl is
+    # the JVM-side sum of map values; explode is JVM-side. No groupBy — the
+    # per-(term,doc) aggregation already happened inside the Arrow batch.
     tf = (
-        docs_tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        base.withColumn("tfmap", tfmap(F.col("content")))
+        .withColumn(
+            "dl",
+            F.aggregate(F.map_values("tfmap"), F.lit(0).cast("long"), lambda a, x: a + x),
+        )
+        .select("doc_id", "dl", F.explode("tfmap").alias("term", "tf"))
+        .withColumn("tf", F.col("tf").cast("long"))
     )
     tf.write.mode("overwrite").parquet(os.path.join(gdir, "tf"))
 
-    # lineage marker: config + content fingerprint of the group's input
-    spark = corpus_split.sparkSession
+    # docs table: metadata + sha (no tokenizer); dl joined back from the
+    # written tf run (zero-token docs get dl=0)
+    dls = (
+        spark.read.parquet(os.path.join(gdir, "tf"))
+        .select("doc_id", "dl")
+        .distinct()
+    )
+    docs_out = (
+        base.select(
+            "doc_id", "repo", "path", "commit", "lang",
+            F.sha2(F.col("content"), 256).alias("content_sha"),
+        )
+        .join(F.broadcast(dls), "doc_id", "left")
+        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0).cast("long")))
+    )
+    docs_out.write.mode("overwrite").parquet(os.path.join(gdir, "docs"))
+
+    # lineage marker: config + content fingerprint of the group's input,
+    # computed from the WRITTEN docs table (cheap narrow re-read)
     fp_row = (
         spark.read.parquet(os.path.join(gdir, "docs"))
         .agg(
@@ -128,35 +145,68 @@ def _stage1_group(corpus_split, out_path: str, group: int, n_groups: int,
         )
 
 
-def _make_block_encoder(avgdl: float, params: BM25Params, block_range: int):
-    """applyInPandas kernel: one (term, block_id) group -> one segment row.
+def _make_segment_encoder(avgdl: float, params: BM25Params, block_range: int):
+    """mapInPandas kernel over a (term, block_id)-partitioned stream sorted
+    by (term, block_id, doc_id): emits one varint-coded segment row per
+    (term, block_id) group, fully vectorized — group boundaries by numpy
+    diff, gap/varint coding in one pass over the whole batch, block-max by
+    ``np.maximum.reduceat``. (selectNeighbors analog, Index.h:714-763: the
+    persisted per-block summary that query-time pruning relies on.)
 
-    selectNeighbors analog (Index.h:714-763): decides the persisted
-    per-block summary (block_max_tfn) that query-time pruning relies on."""
+    Groups can span Arrow batch boundaries: the trailing group of each
+    batch is carried into the next."""
+    from flatnav_spark.codec import encode_groups, grouped_gaps
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        block_id = int(pdf["block_id"].iloc[0])
-        base = block_id * block_range
+    def encode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = pdf["term"].to_numpy()
+        blocks = pdf["block_id"].to_numpy(np.int64)
         doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        order = np.argsort(doc_ids)
-        doc_ids = doc_ids[order]
-        tfs = pdf["tf"].to_numpy(np.int64)[order]
-        dls = pdf["dl"].to_numpy(np.int64)[order]
-        bmax = float(tf_norm(tfs, dls, avgdl, params).max())
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
+
+        changed = np.empty(len(pdf), dtype=bool)
+        changed[0] = True
+        changed[1:] = (terms[1:] != terms[:-1]) | (blocks[1:] != blocks[:-1])
+        starts = np.flatnonzero(changed)
+        ends = np.append(starts[1:], len(pdf))
+
+        bases = blocks[starts] * block_range
+        gaps = grouped_gaps(doc_ids, starts, bases)
+        docs_bin = encode_groups(gaps, starts)
+        tfs_bin = encode_groups(tfs, starts)
+        dls_bin = encode_groups(dls, starts)
+        bmax = np.maximum.reduceat(tf_norm(tfs, dls, avgdl, params), starts)
+
         return pd.DataFrame(
             {
-                "term": [term],
-                "block_id": [block_id],
-                "n": [len(doc_ids)],
-                "docs_bin": [encode_gaps(doc_ids, base)],
-                "tfs_bin": [varint_encode(tfs)],
-                "dls_bin": [varint_encode(dls)],
-                "bmax_tfn": [bmax],
+                "term": terms[starts],
+                "block_id": blocks[starts],
+                "n": (ends - starts).astype(np.int32),
+                "docs_bin": docs_bin,
+                "tfs_bin": tfs_bin,
+                "dls_bin": dls_bin,
+                "bmax_tfn": bmax,
             }
         )
 
-    return encode
+    def encode_partition(batches):
+        carry = None
+        for batch in batches:
+            pdf = pd.concat([carry, batch]) if carry is not None else batch
+            if pdf.empty:
+                carry = None
+                continue
+            last_t = pdf["term"].iloc[-1]
+            last_b = pdf["block_id"].iloc[-1]
+            tail = (pdf["term"] == last_t) & (pdf["block_id"] == last_b)
+            head = pdf[~tail]
+            carry = pdf[tail]
+            if not head.empty:
+                yield encode_frame(head)
+        if carry is not None and not carry.empty:
+            yield encode_frame(carry)
+
+    return encode_partition
 
 
 def build_index(
@@ -191,6 +241,10 @@ def build_index(
     )
 
     # ---- stage 1: per-group checkpointed tokenize + id assignment ----
+    # groups are independent jobs; submit them from parallel driver threads
+    # so the scheduler overlaps their stages (wall clock ~ max, not sum) —
+    # the executeInParallel analog (Multithreading.h:18-48) at job level
+    pending = []
     for group in range(n_groups):
         marker = _marker_path(out_path, group)
         if os.path.exists(marker):
@@ -202,7 +256,19 @@ def build_index(
                     f"config ({meta.get('config_hash')} != {cfg_hash}); refusing to resume"
                 )
             continue
-        _stage1_group(corpus_split, out_path, group, n_groups, n_splits, mode, cfg_hash)
+        pending.append(group)
+    if pending:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(pending), 4)) as pool:
+            futures = [
+                pool.submit(
+                    _stage1_group, corpus_split, out_path, g, n_groups, n_splits, mode, cfg_hash
+                )
+                for g in pending
+            ]
+            for f in futures:
+                f.result()
 
     docs_all = spark.read.parquet(os.path.join(out_path, _STAGE1, "group=*", "docs"))
     tf_all = spark.read.parquet(os.path.join(out_path, _STAGE1, "group=*", "tf"))
@@ -245,18 +311,17 @@ def build_index(
             T.StructField("bmax_tfn", T.DoubleType(), False),
         ]
     )
-    encode = _make_block_encoder(avgdl, params, block_range)
+    encode = _make_segment_encoder(avgdl, params, block_range)
     postings = (
         tf_all.withColumn("block_id", (F.col("doc_id") / F.lit(block_range)).cast("long"))
-        .groupBy("term", "block_id")
-        .applyInPandas(encode, schema=seg_schema)
+        # range partitioning doubles as the final term-sorted layout (the
+        # gorder/RCM locality analog): one shuffle serves both the encoder's
+        # co-location requirement and the query-time row-group pruning
+        .repartitionByRange(out_partitions, "term", "block_id")
+        .sortWithinPartitions("term", "block_id", "doc_id")
+        .mapInPandas(encode, schema=seg_schema)
     )
-    (
-        postings.repartitionByRange(out_partitions, "term", "block_id")
-        .sortWithinPartitions("term", "block_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_path, "postings"))
-    )
+    postings.write.mode("overwrite").parquet(os.path.join(out_path, "postings"))
 
     # ---- docs table, doc_id-ordered layout ----
     (

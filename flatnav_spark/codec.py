@@ -29,27 +29,7 @@ def varint_encode(values: np.ndarray) -> bytes:
         return b""
     if a.dtype.kind == "i" and int(a.min()) < 0:
         raise ValueError("varint_encode requires non-negative values")
-    v = np.ascontiguousarray(a, dtype=_U64)
-    # bytes needed per value: ceil(bitlength/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        nbits[nz] += 1
-        tmp >>= _SEVEN
-        nz = tmp > 0
-    nbytes = np.maximum(nbits, 1)
-    total = int(nbytes.sum())
-    # position of each output byte within its value (0 = least significant)
-    starts = np.zeros(v.size, dtype=np.int64)
-    np.cumsum(nbytes[:-1], out=starts[1:])
-    owner = np.repeat(np.arange(v.size), nbytes)
-    pos = (np.arange(total) - starts[owner]).astype(np.uint64)
-    payload = ((v[owner] >> (pos * _SEVEN)) & _MASK7).astype(np.uint8)
-    # continuation bit on every byte except the last of each value
-    is_last = np.zeros(total, dtype=bool)
-    is_last[starts + nbytes - 1] = True
-    payload[~is_last] |= _CONT
+    payload, _ = _varint_bytes(a)
     return payload.tobytes()
 
 
@@ -68,6 +48,63 @@ def varint_decode(buf: bytes) -> np.ndarray:
     pos = (np.arange(b.size) - np.repeat(starts, lengths)).astype(np.uint64)
     shifted = (b & np.uint8(0x7F)).astype(_U64) << (pos * _SEVEN)
     return np.add.reduceat(shifted, starts)
+
+
+def _varint_bytes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varint encoding of a uint64 array. Returns (payload
+    uint8 array, per-value byte counts) so callers can slice per group."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp >>= _SEVEN
+        nz = tmp > 0
+    nbytes = np.maximum(nbits, 1)
+    total = int(nbytes.sum())
+    starts = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    owner = np.repeat(np.arange(v.size), nbytes)
+    pos = (np.arange(total) - starts[owner]).astype(np.uint64)
+    payload = ((v[owner] >> (pos * _SEVEN)) & _MASK7).astype(np.uint8)
+    is_last = np.zeros(total, dtype=bool)
+    is_last[starts + nbytes - 1] = True
+    payload[~is_last] |= _CONT
+    return payload, nbytes
+
+
+def encode_groups(values: np.ndarray, group_starts: np.ndarray) -> list:
+    """Varint-encode ``values`` as one vectorized pass, returning one bytes
+    object per group (groups are contiguous slices starting at
+    ``group_starts``). The whole-corpus encoder hot path: no per-group
+    numpy re-entry, just byte-buffer slicing."""
+    payload, nbytes = _varint_bytes(values)
+    if values is None or len(nbytes) == 0:
+        return [b"" for _ in range(len(group_starts))]
+    byte_off = np.zeros(len(nbytes) + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_off[1:])
+    buf = payload.tobytes()
+    bounds = np.append(group_starts, len(nbytes))
+    return [buf[byte_off[bounds[i]]: byte_off[bounds[i + 1]]] for i in range(len(group_starts))]
+
+
+def grouped_gaps(sorted_ids: np.ndarray, group_starts: np.ndarray,
+                 bases: np.ndarray) -> np.ndarray:
+    """Gap-code a concatenation of per-group strictly-increasing id runs:
+    within each group the first gap is vs that group's base. Vectorized."""
+    ids = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    gaps = np.empty(ids.size, dtype=np.int64)
+    if ids.size == 0:
+        return gaps
+    gaps[0] = 0  # overwritten below (index 0 is always a group start)
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    gaps[group_starts] = ids[group_starts] - bases
+    if gaps.min() < 0:
+        raise ValueError("ids must be increasing within groups and >= base")
+    return gaps
 
 
 def encode_gaps(sorted_ids: np.ndarray, base: int = 0) -> bytes:

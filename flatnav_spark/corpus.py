@@ -78,25 +78,27 @@ def _zipf_weights(n: int, s: float = 1.1) -> np.ndarray:
 
 
 def synth_corpus(n_docs: int, seed: int = SEED) -> List[Tuple[str, str, str, str, str]]:
-    """Rows (repo, path, commit, lang, content), deterministic in (n_docs, seed)."""
+    """Rows (repo, path, commit, lang, content), deterministic in (n_docs,
+    seed). Token sampling is one vectorized Zipf draw over the whole corpus
+    (fast enough for the 50k-doc scaling fixture, FIXTURES.md §5)."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocabulary())
     weights = _zipf_weights(len(vocab))
     lang_idx = rng.choice(len(LANGS), size=n_docs, p=LANG_W)
-    n_lines = rng.integers(20, 401, size=n_docs)
+    # ~5-100 "lines" of ~6 tokens each -> 30..600 tokens per doc
+    toks_per_doc = (rng.integers(20, 401, size=n_docs) // 4) * 6
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(toks_per_doc, out=offsets[1:])
+    flat = rng.choice(vocab, size=int(offsets[-1]), p=weights)
     rows: List[Tuple[str, str, str, str, str]] = []
     for i in range(n_docs):
         lang = LANGS[int(lang_idx[i])]
         repo = f"org{i % 7}/repo{i % 23}"
         path = f"src/mod{i % 41}/file{i}.{EXT[lang]}"
         commit = hashlib.sha256(f"commit{i // 50}".encode()).hexdigest()[:40]
-        lines = []
-        for _ in range(int(n_lines[i]) // 4):       # ~4-8 tokens per line
-            k = int(rng.integers(4, 9))
-            toks = rng.choice(vocab, size=k, p=weights)
-            lines.append(" ".join(toks.tolist()))
         kw = KEYWORDS[lang]
-        content = f"{kw[0]} {kw[1]}\n" + "\n".join(lines)
+        body = " ".join(flat[offsets[i]: offsets[i + 1]].tolist())
+        content = f"{kw[0]} {kw[1]}\n{body}"
         rows.append((repo, path, commit, lang, content))
     return rows
 
