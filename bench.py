@@ -85,6 +85,13 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
     corpus = _get_corpus(spark, sf_dir, corpus_spec)
     n_docs = corpus.count()  # warm the scan; excluded from build timing
 
+    # warm-up build on a 500-doc slice (excluded, per protocol): pays the
+    # one-time driver JIT/codegen tax for every plan shape in the pipeline
+    warm_dir = out_dir + "_warm"
+    build_index(corpus.limit(500), warm_dir, mode="code",
+                n_splits=8, n_groups=1, block_range=1024, out_partitions=4)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     t0 = time.perf_counter()
     # n_groups=2: two checkpointable units (resume still exercised) without
     # paying 4× sequential job-scheduling overhead at bench scale

@@ -157,18 +157,21 @@ def _make_segment_encoder(avgdl: float, params: BM25Params, block_range: int):
     batch is carried into the next."""
     from flatnav_spark.codec import encode_groups, grouped_gaps
 
-    def encode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
-        terms = pdf["term"].to_numpy()
-        blocks = pdf["block_id"].to_numpy(np.int64)
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["dl"].to_numpy(np.int64)
+    _COLS = ("term", "block_id", "doc_id", "tf", "dl")
 
-        changed = np.empty(len(pdf), dtype=bool)
+    def encode_frame(cols) -> pd.DataFrame:
+        terms = cols["term"]
+        blocks = cols["block_id"]
+        doc_ids = cols["doc_id"]
+        tfs = cols["tf"]
+        dls = cols["dl"]
+        n = len(terms)
+
+        changed = np.empty(n, dtype=bool)
         changed[0] = True
         changed[1:] = (terms[1:] != terms[:-1]) | (blocks[1:] != blocks[:-1])
         starts = np.flatnonzero(changed)
-        ends = np.append(starts[1:], len(pdf))
+        ends = np.append(starts[1:], n)
 
         bases = blocks[starts] * block_range
         gaps = grouped_gaps(doc_ids, starts, bases)
@@ -190,20 +193,30 @@ def _make_segment_encoder(avgdl: float, params: BM25Params, block_range: int):
         )
 
     def encode_partition(batches):
-        carry = None
-        for batch in batches:
-            pdf = pd.concat([carry, batch]) if carry is not None else batch
+        carry = None  # dict of numpy arrays: the trailing (possibly
+        # incomplete) group of the previous batch
+        for pdf in batches:
             if pdf.empty:
-                carry = None
                 continue
-            last_t = pdf["term"].iloc[-1]
-            last_b = pdf["block_id"].iloc[-1]
-            tail = (pdf["term"] == last_t) & (pdf["block_id"] == last_b)
-            head = pdf[~tail]
-            carry = pdf[tail]
-            if not head.empty:
-                yield encode_frame(head)
-        if carry is not None and not carry.empty:
+            cols = {
+                "term": pdf["term"].to_numpy(),
+                "block_id": pdf["block_id"].to_numpy(np.int64),
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "tf": pdf["tf"].to_numpy(np.int64),
+                "dl": pdf["dl"].to_numpy(np.int64),
+            }
+            if carry is not None:
+                cols = {c: np.concatenate([carry[c], cols[c]]) for c in _COLS}
+            terms, blocks = cols["term"], cols["block_id"]
+            n = len(terms)
+            tail_mask = (terms == terms[-1]) & (blocks == blocks[-1])
+            if tail_mask.all():
+                carry = cols  # whole batch is one group: keep carrying
+                continue
+            split = n - int(tail_mask[::-1].argmin())
+            carry = {c: cols[c][split:] for c in _COLS}
+            yield encode_frame({c: cols[c][:split] for c in _COLS})
+        if carry is not None and len(carry["term"]):
             yield encode_frame(carry)
 
     return encode_partition

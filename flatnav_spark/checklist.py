@@ -288,12 +288,15 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
         ("events",),
     )
 
-    # exact dedup by content hash (training-pipeline op) ✦
+    # exact dedup by content hash (training-pipeline op, engine fn) ✦
+    def _dedup_exact(spark, sf_dir):
+        from flatnav_spark.textops import exact_dedup
+
+        _ensure_views(spark, sf_dir, ("documents",))
+        return exact_dedup(spark.table("documents"))
+
     r["dedup_exact"] = (
-        """SELECT content_sha, CAST(count(*) AS BIGINT) AS n_dups,
-                  CAST(min(doc_id) AS BIGINT) AS keeper
-           FROM (SELECT doc_id, sha2(text, 256) AS content_sha FROM documents)
-           GROUP BY content_sha HAVING count(*) > 1""",
+        _dedup_exact,
         """SELECT content_sha, CAST(count(*) AS BIGINT) AS n_dups,
                   CAST(min(doc_id) AS BIGINT) AS keeper
            FROM (SELECT doc_id, sha256(text) AS content_sha FROM documents) t
@@ -301,18 +304,16 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
         ("documents",),
     )
 
-    # n-gram (token-set) Jaccard near-dup pairs (training-pipeline op) ✦
+    # n-gram (token-set) Jaccard near-dup pairs (training-pipeline op,
+    # engine fn) ✦
+    def _near_dup(spark, sf_dir):
+        from flatnav_spark.textops import jaccard_pairs
+
+        _ensure_views(spark, sf_dir, ("documents",))
+        return jaccard_pairs(spark.table("documents").filter("doc_id < 30"), threshold=0.8)
+
     r["near_dup_jaccard"] = (
-        f"""WITH toks AS (SELECT DISTINCT doc_id, explode({_TOK_SPARK}) AS term
-                          FROM documents WHERE doc_id < 30),
-                 card AS (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id),
-                 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-                           FROM toks a JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
-                           GROUP BY a.doc_id, b.doc_id)
-            SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
-                   round(i * 1.0 / (ca.c + cb.c - i), 4) AS jaccard
-            FROM inter JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
-            WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.8""",
+        _near_dup,
         f"""WITH toks AS (SELECT DISTINCT doc_id, unnest({_TOK_DUCK}) AS term
                           FROM documents WHERE doc_id < 30),
                  card AS (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id),
@@ -326,20 +327,102 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
         ("documents",),
     )
 
-    # MinHash signatures + LSH band bucket (training-pipeline op) ✦
-    minhash_cols = ",\n".join(
+    # MinHash signatures + LSH band bucket (training-pipeline op,
+    # engine fn) ✦
+    minhash_cols_duck = ",\n".join(
         f"min(md5(concat('s{i}:', term))) AS mh{i}" for i in range(4)
     )
-    minhash_cols_spark = minhash_cols_duck = minhash_cols
+
+    def _minhash(spark, sf_dir):
+        from flatnav_spark.textops import minhash_signatures
+
+        _ensure_views(spark, sf_dir, ("documents",))
+        return minhash_signatures(spark.table("documents"))
+
     r["minhash_lsh"] = (
-        f"""WITH toks AS (SELECT DISTINCT doc_id, explode({_TOK_SPARK}) AS term FROM documents)
-            SELECT CAST(doc_id AS BIGINT) AS doc_id, {minhash_cols_spark},
-                   substring(min(md5(concat('s0:', term))), 1, 8) AS band0
-            FROM toks GROUP BY doc_id""",
+        _minhash,
         f"""WITH toks AS (SELECT DISTINCT doc_id, unnest({_TOK_DUCK}) AS term FROM documents)
             SELECT CAST(doc_id AS BIGINT) AS doc_id, {minhash_cols_duck},
                    substring(min(md5(concat('s0:', term))), 1, 8) AS band0
             FROM toks GROUP BY doc_id""",
+        ("documents",),
+    )
+
+    # LSH candidate pairs from banded MinHash (engine fn) ✦
+    duck_bands = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, concat('b{i}:', substring(mh{i}, 1, 4)) AS band FROM sigs"""
+        for i in range(4)
+    )
+
+    def _lsh_pairs(spark, sf_dir):
+        from flatnav_spark.textops import lsh_candidate_pairs
+
+        _ensure_views(spark, sf_dir, ("documents",))
+        return lsh_candidate_pairs(spark.table("documents").filter("doc_id < 30"))
+
+    r["lsh_candidate_pairs"] = (
+        _lsh_pairs,
+        f"""WITH toks AS (SELECT DISTINCT doc_id, unnest({_TOK_DUCK}) AS term
+                          FROM documents WHERE doc_id < 30),
+                 sigs AS (SELECT doc_id, {minhash_cols_duck} FROM toks GROUP BY doc_id),
+                 bands AS ({duck_bands})
+            SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS d1, CAST(b.doc_id AS BIGINT) AS d2
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""",
+        ("documents",),
+    )
+
+    # SimHash fingerprints (training-pipeline op, engine fn) ✦
+    hex_high = "'8','9','a','b','c','d','e','f'"
+    duck_bit_sums = ",\n".join(
+        f"sum(CASE WHEN substring(h, {i + 1}, 1) IN ({hex_high}) THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(16)
+    )
+    duck_fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+
+    def _simhash(spark, sf_dir):
+        from flatnav_spark.textops import simhash16
+
+        _ensure_views(spark, sf_dir, ("documents",))
+        return simhash16(spark.table("documents"))
+
+    r["simhash_fingerprint"] = (
+        _simhash,
+        f"""WITH toks AS (SELECT DISTINCT doc_id, unnest({_TOK_DUCK}) AS term FROM documents),
+                 h AS (SELECT doc_id, md5(term) AS h FROM toks),
+                 s AS (SELECT doc_id, {duck_bit_sums} FROM h GROUP BY doc_id)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({duck_fp} AS BIGINT) AS simhash
+            FROM s""",
+        ("documents",),
+    )
+
+    # language-ID heuristic (training-pipeline op, engine fn) ✦
+    from flatnav_spark.textops import LANG_PROFILES
+
+    duck_scores = ",\n".join(
+        "round(len(list_filter(toks, x -> x IN ({lst}))) * 1.0 / len(toks), 4) AS score_{n}".format(
+            lst=", ".join(f"'{w}'" for w in words), n=name
+        )
+        for name, words in sorted(LANG_PROFILES.items())
+    )
+    names = sorted(LANG_PROFILES.keys())
+    duck_best = "greatest(" + ", ".join(f"score_{n}" for n in names) + ")"
+    duck_pred = "CASE " + " ".join(
+        f"WHEN score_{n} = {duck_best} THEN '{n}'" for n in names
+    ) + " END"
+
+    def _lang_id(spark, sf_dir):
+        from flatnav_spark.textops import language_id
+
+        _ensure_views(spark, sf_dir, ("documents",))
+        return language_id(spark.table("documents"))
+
+    r["language_id"] = (
+        _lang_id,
+        f"""WITH t AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+                 s AS (SELECT doc_id, {duck_scores} FROM t WHERE len(toks) > 0)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {duck_pred} AS lang_pred,
+                   {duck_best} AS lang_score
+            FROM s""",
         ("documents",),
     )
 
@@ -354,15 +437,15 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
         ("documents",),
     )
 
-    # text quality scoring (training-pipeline op) ✦
+    # text quality scoring (training-pipeline op, engine fn) ✦
+    def _quality(spark, sf_dir):
+        from flatnav_spark.textops import quality_scores
+
+        _ensure_views(spark, sf_dir, ("documents",))
+        return quality_scores(spark.table("documents"))
+
     r["text_quality"] = (
-        f"""WITH t AS (SELECT doc_id, text, {_TOK_SPARK} AS toks FROM documents)
-            SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(size(toks) AS BIGINT) AS n_tokens,
-                   round(length(concat_ws('', toks)) * 1.0 / size(toks), 4) AS avg_tok_len,
-                   round(size(filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
-                         / size(toks), 4) AS stopword_ratio
-            FROM t WHERE size(toks) > 0""",
+        _quality,
         f"""WITH t AS (SELECT doc_id, text, {_TOK_DUCK} AS toks FROM documents)
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -373,26 +456,20 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
         ("documents",),
     )
 
-    # brute-force cosine top-k over embeddings (similarity-search op) ✦
+    # brute-force cosine top-k over embeddings (similarity-search op,
+    # engine fn) ✦
+    def _cosine_topk(spark, sf_dir):
+        from flatnav_spark.simsearch import cosine_topk
+
+        _ensure_views(spark, sf_dir, ("embeddings",))
+        emb = spark.table("embeddings")
+        q = emb.filter("vec_id < 3").select(
+            emb.vec_id.alias("qid"), emb.embedding.alias("qe")
+        )
+        return cosine_topk(emb, q, k=5)
+
     r["embedding_cosine_topk"] = (
-        """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
-                dots AS (
-                  SELECT q.qid, e.vec_id,
-                         aggregate(zip_with(q.qe, e.embedding,
-                                   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dot,
-                         sqrt(aggregate(transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS nq,
-                         sqrt(aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS ne
-                  FROM q CROSS JOIN embeddings e),
-                ranked AS (
-                  SELECT qid, vec_id, round(dot / (nq * ne), 4) AS cos,
-                         CAST(row_number() OVER (PARTITION BY qid
-                              ORDER BY round(dot / (nq * ne), 4) DESC, vec_id) AS BIGINT) AS rank
-                  FROM dots)
-           SELECT CAST(qid AS BIGINT) AS qid, rank, CAST(vec_id AS BIGINT) AS vec_id, cos
-           FROM ranked WHERE rank <= 5""",
+        _cosine_topk,
         """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
                 dots AS (
                   SELECT q.qid, e.vec_id,
@@ -425,6 +502,33 @@ def _make_sql_query(sql: str, tables: tuple) -> Callable:
         return spark.sql(sql)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible entries (driver records a rows-only check):
+# approximate ANN and binary multimodal plumbing
+
+
+def lsh_ann_topk(spark, sf_dir: str):
+    from flatnav_spark.simsearch import lsh_cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter("vec_id < 3").select(
+        emb.vec_id.alias("qid"), emb.embedding.alias("qe")
+    )
+    return lsh_cosine_topk(emb, q, k=5)
+
+
+def multimodal_decode(spark, sf_dir: str):
+    from flatnav_spark.multimodal import decode_images, synth_assets
+
+    return decode_images(synth_assets(spark, 50))
+
+
+def multimodal_features(spark, sf_dir: str):
+    from flatnav_spark.multimodal import extract_features, synth_assets
+
+    return extract_features(synth_assets(spark, 50))
 
 
 # ---------------------------------------------------------------------------
@@ -468,9 +572,14 @@ def engine_bm25_topk(spark, sf_dir: str):
 
 def build_queries() -> Dict[str, Callable]:
     out: Dict[str, Callable] = {}
-    for name, (spark_sql, _duck, tables) in _registry().items():
-        out[name] = _make_sql_query(spark_sql, tables)
+    for name, (spark_impl, _duck, tables) in _registry().items():
+        out[name] = spark_impl if callable(spark_impl) else _make_sql_query(spark_impl, tables)
     out["engine_bm25_topk"] = engine_bm25_topk
+    # rows-only entries (no SQL-expressible oracle; driver records the
+    # weaker check): approximate ANN + multimodal binary plumbing
+    out["lsh_ann_topk"] = lsh_ann_topk
+    out["multimodal_decode"] = multimodal_decode
+    out["multimodal_features"] = multimodal_features
     return out
 
 

@@ -1,0 +1,194 @@
+"""Training-data pipeline text operators, DataFrame-API first-class:
+
+- exact dedup (content-hash groupBy)
+- MinHash signatures + LSH band buckets + candidate pairs
+- token-set Jaccard near-dup scoring
+- SimHash fingerprints (16-bit, md5-nibble hyperplanes)
+- language identification (stopword-profile heuristic)
+- quality scoring (length / stopword ratios)
+
+All operators are pure DataFrame expressions (JVM-side, codegen'd, no UDFs)
+so they scale with Catalyst; every float output is rounded to 4 decimals
+and every ranking tie-broken, matching the checklist oracle conventions
+(see flatnav_spark/checklist.py).
+
+These play the role flatnav's quantization/dedup-adjacent tooling plays
+for vectors (developmental-features/quantization/ProductQuantization.h):
+content-addressed compression and near-duplicate structure over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SIMPLE_TOKEN_REGEX = "[a-z0-9]+"
+
+# stopword profiles for the language-ID heuristic (deterministic, tiny)
+LANG_PROFILES = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "code": ["import", "def", "return", "class", "func", "void", "const", "static"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+}
+
+
+def simple_tokens(col):
+    """lower + [a-z0-9]+ runs — the SQL-parity tokenizer as a Column."""
+    return F.expr(f"regexp_extract_all(lower({col}), '{SIMPLE_TOKEN_REGEX}', 0)")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups by sha256(text): (content_sha, n_dups, keeper).
+
+    The keeper is the minimum doc_id — the deterministic survivor a
+    dedup-and-drop pipeline would retain. Scales as a single hash
+    aggregation (map-side combined)."""
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _distinct_terms(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(simple_tokens(text_col))).alias("term"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 4,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature: for seed i, min over distinct tokens of
+    md5('s{i}:' || token). Hex-string min is a valid permutation-min (md5
+    is uniform); cross-engine deterministic (md5 agrees everywhere).
+    Adds band0 = first 8 hex chars of mh0 as an LSH band key.
+
+    Scales as explode + groupBy with map-side combine — no UDF."""
+    terms = _distinct_terms(docs, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("term")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = terms.groupBy("doc_id").agg(*aggs)
+    return sigs.withColumn("band0", F.substring(F.col("mh0"), 1, 8))
+
+
+def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 4, n_band_chars: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates by banded MinHash: docs sharing any band prefix.
+    Each of the n_hashes signatures contributes one band (its first
+    n_band_chars hex chars); the pair survives if ANY band collides.
+    Self-join per band on the (small) signature table; d1 < d2."""
+    sigs = minhash_signatures(docs, n_hashes, text_col, id_col)
+    bands = None
+    for i in range(n_hashes):
+        b = sigs.select(
+            F.col("doc_id"),
+            F.concat(F.lit(f"b{i}:"), F.substring(F.col(f"mh{i}"), 1, n_band_chars)).alias("band"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact token-set Jaccard for all pairs sharing >= 1 token:
+    (d1, d2, jaccard), jaccard rounded to 4. Quadratic in the worst case —
+    intended for candidate sets (compose with lsh_candidate_pairs at scale)."""
+    toks = _distinct_terms(docs, text_col, id_col)
+    card = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca, cb = card.alias("ca"), card.alias("cb")
+    j = F.col("i") * 1.0 / (F.col("ca.c") + F.col("cb.c") - F.col("i"))
+    return (
+        inter.join(ca, F.col("d1") == F.col("ca.doc_id"))
+        .join(cb, F.col("d2") == F.col("cb.doc_id"))
+        .filter(j >= threshold)
+        .select("d1", "d2", F.round(j, 4).alias("jaccard"))
+    )
+
+
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over distinct tokens: bit i of the fingerprint is the
+    majority sign of md5-nibble i across the doc's tokens (nibble >= 8 ->
+    +1 else -1). Pure SQL expressions, so the same formula runs on DuckDB
+    for the oracle. Returns (doc_id, simhash long)."""
+    terms = _distinct_terms(docs, text_col, id_col).withColumn(
+        "h", F.md5(F.col("term"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    agg = terms.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for i in range(16):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language guess: per profile, the fraction of tokens
+    in the profile's stopword list; predict the argmax (ties by profile
+    name). Returns (doc_id, lang_pred, lang_score)."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), simple_tokens(text_col).alias("toks")
+    ).filter(F.size("toks") > 0)
+    scored = toks
+    for name, words in sorted(LANG_PROFILES.items()):
+        in_list = ", ".join(f"'{w}'" for w in words)
+        scored = scored.withColumn(
+            f"score_{name}",
+            F.round(
+                F.expr(f"size(filter(toks, x -> x IN ({in_list})))") * 1.0 / F.size("toks"), 4
+            ),
+        )
+    names = sorted(LANG_PROFILES.keys())
+    best = F.greatest(*[F.col(f"score_{n}") for n in names])
+    pred = None
+    for n in reversed(names):  # earlier names win ties -> build from the back
+        pred = F.when(F.col(f"score_{n}") == best, F.lit(n)) if pred is None else F.when(
+            F.col(f"score_{n}") == best, F.lit(n)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id", pred.alias("lang_pred"), best.alias("lang_score")
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: token count, mean token length, stopword
+    ratio — (doc_id, n_tokens, avg_tok_len, stopword_ratio), floats
+    rounded to 4."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), simple_tokens(text_col).alias("toks")
+    ).filter(F.size("toks") > 0)
+    stop = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"][:4])
+    return toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.length(F.concat_ws("", F.col("toks"))) * 1.0 / F.size("toks"), 4
+        ).alias("avg_tok_len"),
+        F.round(
+            F.expr(f"size(filter(toks, x -> x IN ({stop})))") * 1.0 / F.size("toks"), 4
+        ).alias("stopword_ratio"),
+    )

@@ -65,7 +65,10 @@ def test_query_matches_oracle(spark, duck, name):
     sdf = q(spark, SF_DIR)
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
-    assert oracle is not None, f"{name} has no oracle (rows-only check)"
+    if oracle is None:
+        # rows-only entry (non-SQL-expressible: ANN / multimodal binary)
+        assert len(s_rows) > 0, f"{name}: rows-only query returned nothing"
+        return
     rel = duck.sql(oracle)
     d_cols = [c.lower() for c in rel.columns]
     d_rows = rel.fetchall()
