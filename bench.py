@@ -64,10 +64,15 @@ def _get_corpus(spark, sf_dir: str, spec: str):
     from flatnav_spark.corpus import corpus_df, documents_as_corpus
 
     if spec.startswith("synth:"):
+        from flatnav_spark.corpus import write_corpus_parquet
+
         n = int(spec.split(":", 1)[1])
         cache = f"/tmp/flatnav_synth_{n}_s42/corpus.parquet"
-        if not os.path.exists(cache):
-            corpus_df(spark, n).repartition(8).write.mode("overwrite").parquet(cache)
+        done = cache + "/_GEN_DONE"
+        if not os.path.exists(done):
+            shutil.rmtree(cache, ignore_errors=True)  # drop any stale cache
+            write_corpus_parquet(cache, n)
+            open(done, "w").close()
         return spark.read.parquet(cache)
     return documents_as_corpus(spark, sf_dir)
 

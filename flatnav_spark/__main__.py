@@ -1,0 +1,140 @@
+"""CLI — the spark-submit surface of the engine.
+
+    python -m flatnav_spark build  --corpus <parquet> --out <index> [--mode code]
+                                   [--resume] [--block-range 4096] [--splits 64]
+    python -m flatnav_spark query  --index <index> --queries <parquet|inline..>
+                                   [--k 10] [--no-prune] [--out <parquet>]
+    python -m flatnav_spark optimize --index <index>
+    python -m flatnav_spark info   --index <index>
+    python -m flatnav_spark validate --index <index>
+
+On a real cluster: ``spark-submit --py-files flatnav_spark.zip -m ...`` with
+the session taken from the active SparkSession (spark.master from
+spark-defaults); locally it falls back to local[*].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from flatnav_spark.session import get_spark
+
+    return get_spark(app)
+
+
+def cmd_build(args) -> int:
+    from flatnav_spark.build import build_index
+    from flatnav_spark.scorer import BM25Params
+
+    spark = _spark("flatnav_build")
+    corpus = spark.read.parquet(args.corpus)
+    index = build_index(
+        corpus,
+        args.out,
+        mode=args.mode,
+        params=BM25Params(k1=args.k1, b=args.b),
+        block_range=args.block_range,
+        n_splits=args.splits,
+        n_groups=args.groups,
+        resume=args.resume,
+    )
+    print(json.dumps(index.info()))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from flatnav_spark.index_io import load_index
+    from flatnav_spark.query import batch_query
+
+    spark = _spark("flatnav_query")
+    index = load_index(args.index)
+    if args.queries.endswith(".parquet") or "/" in args.queries:
+        qdf = spark.read.parquet(args.queries)
+    else:
+        rows = [(i, q) for i, q in enumerate(args.queries.split("||"))]
+        qdf = spark.createDataFrame(rows, "query_id long, query_text string")
+    result = batch_query(spark, index, qdf, k=args.k, prune=not args.no_prune)
+    if args.out:
+        result.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out}))
+    else:
+        for r in result.collect():
+            print(json.dumps({"query_id": r.query_id, "rank": r.rank,
+                              "doc_id": r.doc_id, "score": r.score}))
+    return 0
+
+
+def cmd_optimize(args) -> int:
+    from flatnav_spark.index_io import load_index
+    from flatnav_spark.maintenance import optimize_index
+
+    spark = _spark("flatnav_optimize")
+    index = optimize_index(spark, load_index(args.index), args.partitions)
+    print(json.dumps(index.info()))
+    return 0
+
+
+def cmd_info(args) -> int:
+    from flatnav_spark.index_io import load_index
+
+    print(json.dumps(load_index(args.index).info(), indent=2))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from flatnav_spark.index_io import load_index
+    from flatnav_spark.maintenance import validate_index
+
+    spark = _spark("flatnav_validate")
+    print(json.dumps(validate_index(spark, load_index(args.index))))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="flatnav_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--mode", default="code", choices=["code", "simple"])
+    b.add_argument("--k1", type=float, default=1.2)
+    b.add_argument("--b", type=float, default=0.75)
+    b.add_argument("--block-range", type=int, default=4096)
+    b.add_argument("--splits", type=int, default=64)
+    b.add_argument("--groups", type=int, default=8)
+    b.add_argument("--resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True,
+                   help="parquet path OR inline 'terms a||terms b' strings")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--no-prune", action="store_true")
+    q.add_argument("--out")
+    q.set_defaults(fn=cmd_query)
+
+    o = sub.add_parser("optimize")
+    o.add_argument("--index", required=True)
+    o.add_argument("--partitions", type=int, default=None)
+    o.set_defaults(fn=cmd_optimize)
+
+    i = sub.add_parser("info")
+    i.add_argument("--index", required=True)
+    i.set_defaults(fn=cmd_info)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--index", required=True)
+    v.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

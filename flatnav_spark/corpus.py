@@ -77,10 +77,11 @@ def _zipf_weights(n: int, s: float = 1.1) -> np.ndarray:
     return w / w.sum()
 
 
-def synth_corpus(n_docs: int, seed: int = SEED) -> List[Tuple[str, str, str, str, str]]:
+def synth_corpus(n_docs: int, seed: int = SEED, start: int = 0) -> List[Tuple[str, str, str, str, str]]:
     """Rows (repo, path, commit, lang, content), deterministic in (n_docs,
-    seed). Token sampling is one vectorized Zipf draw over the whole corpus
-    (fast enough for the 50k-doc scaling fixture, FIXTURES.md §5)."""
+    seed, start). Token sampling is one vectorized Zipf draw over the whole
+    chunk. ``start`` offsets doc identities so large corpora can be
+    generated in independent deterministic chunks (see write_corpus_parquet)."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocabulary())
     weights = _zipf_weights(len(vocab))
@@ -91,16 +92,47 @@ def synth_corpus(n_docs: int, seed: int = SEED) -> List[Tuple[str, str, str, str
     np.cumsum(toks_per_doc, out=offsets[1:])
     flat = rng.choice(vocab, size=int(offsets[-1]), p=weights)
     rows: List[Tuple[str, str, str, str, str]] = []
-    for i in range(n_docs):
-        lang = LANGS[int(lang_idx[i])]
+    for j in range(n_docs):
+        i = start + j
+        lang = LANGS[int(lang_idx[j])]
         repo = f"org{i % 7}/repo{i % 23}"
         path = f"src/mod{i % 41}/file{i}.{EXT[lang]}"
         commit = hashlib.sha256(f"commit{i // 50}".encode()).hexdigest()[:40]
         kw = KEYWORDS[lang]
-        body = " ".join(flat[offsets[i]: offsets[i + 1]].tolist())
+        body = " ".join(flat[offsets[j]: offsets[j + 1]].tolist())
         content = f"{kw[0]} {kw[1]}\n{body}"
         rows.append((repo, path, commit, lang, content))
     return rows
+
+
+def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED,
+                         chunk: int = 100_000) -> str:
+    """Deterministic corpus written straight to parquet via pyarrow in
+    independent chunks (seed derived per chunk) — memory-safe for the
+    million-doc scaling fixture without a Spark session."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    n_chunks = (n_docs + chunk - 1) // chunk
+    for c in range(n_chunks):
+        start = c * chunk
+        n = min(chunk, n_docs - start)
+        rows = synth_corpus(n, seed=seed + c * 10_007, start=start)
+        cols = list(zip(*rows))
+        table = pa.table(
+            {
+                "repo": pa.array(cols[0]),
+                "path": pa.array(cols[1]),
+                "commit": pa.array(cols[2]),
+                "lang": pa.array(cols[3]),
+                "content": pa.array(cols[4]),
+            }
+        )
+        pq.write_table(table, os.path.join(path, f"part-{c:05d}.parquet"))
+    return path
 
 
 def synth_queries(n_queries: int, seed: int = SEED) -> List[Tuple[int, str]]:

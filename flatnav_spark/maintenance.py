@@ -1,0 +1,134 @@
+"""Index maintenance jobs — the graph-layout / introspection operators.
+
+- ``optimize_index``: the gorder/RCM analog (util/Reordering.h:26-200,
+  applied via Index::doGraphReordering, Index.h:412-440). flatnav permutes
+  node ids and physically relocates rows for traversal locality; our
+  locality lever is the parquet layout: rewrite postings range-partitioned
+  by (term, block_id), sorted within partitions, with a target partition
+  count — fewer/larger row groups, tighter term clustering, better
+  row-group pruning for term lookups. Results are bit-identical before and
+  after (same contract as reordering: ordering changes layout, not math).
+
+- ``postings_table``: the getGraphOutdegreeTable analog (Index.h:240-251):
+  materialize the compressed segments back into a flat, human-queryable
+  DataFrame (term, doc_id, tf, dl) for diagnostics and tests.
+
+- ``validate_index``: manifest-vs-tables consistency check (doc counts,
+  posting counts, df sums) — the loadIndex metadata validation analog
+  (Index.h:442-479).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from flatnav_spark.index_io import IndexManifest, LoadedIndex
+
+
+def optimize_index(spark, index: LoadedIndex, out_partitions: Optional[int] = None) -> LoadedIndex:
+    """Rewrite the postings table with a fresh term-clustered layout.
+
+    In-place at the index path (writes to a temp subdir then swaps), like
+    ``relabel``'s in-place permutation (Index.h:872-926) but crash-safe:
+    the swap is the last step."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if out_partitions is None:
+        out_partitions = max(spark.sparkContext.defaultParallelism // 2, 4)
+
+    postings_path = os.path.join(index.path, "postings")
+    tmp_path = os.path.join(index.path, "postings__optimizing")
+    (
+        spark.read.parquet(postings_path)
+        .repartitionByRange(out_partitions, "term", "block_id")
+        .sortWithinPartitions("term", "block_id")
+        .write.mode("overwrite")
+        .parquet(tmp_path)
+    )
+    old_path = os.path.join(index.path, "postings__old")
+    os.rename(postings_path, old_path)
+    os.rename(tmp_path, postings_path)
+    shutil.rmtree(old_path)
+
+    m = index.manifest
+    m.metrics["optimized_partitions"] = out_partitions
+    m.save(index.path)
+    return LoadedIndex(index.path, m)
+
+
+def postings_table(spark, index: LoadedIndex):
+    """Decode segments to (term, doc_id, tf, dl) — diagnostics view."""
+    from flatnav_spark.codec import decode_gaps, varint_decode
+
+    block_range = index.manifest.block_range
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms, doc_ids, tfs, dls = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                base = int(row.block_id) * block_range
+                ids = decode_gaps(row.docs_bin, base)
+                terms.append(np.repeat(np.array([row.term], dtype=object), len(ids)))
+                doc_ids.append(ids)
+                tfs.append(varint_decode(row.tfs_bin).astype(np.int64))
+                dls.append(varint_decode(row.dls_bin).astype(np.int64))
+            if terms:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms),
+                        "doc_id": np.concatenate(doc_ids),
+                        "tf": np.concatenate(tfs),
+                        "dl": np.concatenate(dls),
+                    }
+                )
+
+    return index.postings(spark).mapInPandas(decode, "term string, doc_id long, tf long, dl long")
+
+
+def validate_index(spark, index: LoadedIndex) -> dict:
+    """Cross-check manifest metadata against the tables; raises on drift.
+
+    Returns the computed stats for reporting."""
+    from pyspark.sql import functions as F
+
+    m = index.manifest
+    docs = index.docs(spark)
+    stats = index.term_stats(spark)
+    segs = index.postings(spark)
+
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).collect()[0]
+    seg_row = segs.agg(F.sum("n").alias("n_postings")).collect()[0]
+    st_row = stats.agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("df_sum")
+    ).collect()[0]
+
+    computed = {
+        "n_docs": int(row["n_docs"]),
+        "total_dl": int(row["total_dl"] or 0),
+        "n_postings": int(seg_row["n_postings"] or 0),
+        "n_terms": int(st_row["n_terms"] or 0),
+        "df_sum": int(st_row["df_sum"] or 0),
+    }
+    problems = []
+    if computed["n_docs"] != m.n_docs:
+        problems.append(f"docs table has {computed['n_docs']} rows, manifest says {m.n_docs}")
+    if computed["total_dl"] != m.total_dl:
+        problems.append(f"dl sum {computed['total_dl']} != manifest {m.total_dl}")
+    if computed["n_postings"] != m.n_postings:
+        problems.append(f"postings {computed['n_postings']} != manifest {m.n_postings}")
+    if computed["n_terms"] != m.n_terms:
+        problems.append(f"terms {computed['n_terms']} != manifest {m.n_terms}")
+    # every posting is one (term, doc) incidence: df sums must equal postings
+    if computed["df_sum"] != computed["n_postings"]:
+        problems.append(f"df sum {computed['df_sum']} != postings {computed['n_postings']}")
+    if problems:
+        raise ValueError("index validation failed: " + "; ".join(problems))
+    return computed
