@@ -50,7 +50,7 @@ import numpy as np
 import pandas as pd
 
 from flatnav_spark.index_io import MANIFEST_VERSION, IndexManifest, LoadedIndex
-from flatnav_spark.scorer import BM25Params, tf_norm
+from flatnav_spark.scorer import BM25Params
 from flatnav_spark.tokenizer import make_tfmap_udf
 
 DEFAULT_BLOCK_RANGE = 4096
@@ -145,7 +145,7 @@ def _stage1_group(corpus_split, out_path: str, group: int, n_groups: int,
         )
 
 
-def _make_segment_encoder(avgdl: float, params: BM25Params, block_range: int):
+def _make_segment_encoder(block_range: int):
     """mapInPandas kernel over a (term, block_id)-partitioned stream sorted
     by (term, block_id, doc_id): emits one varint-coded segment row per
     (term, block_id) group, fully vectorized — group boundaries by numpy
@@ -178,7 +178,12 @@ def _make_segment_encoder(avgdl: float, params: BM25Params, block_range: int):
         docs_bin = encode_groups(gaps, starts)
         tfs_bin = encode_groups(tfs, starts)
         dls_bin = encode_groups(dls, starts)
-        bmax = np.maximum.reduceat(tf_norm(tfs, dls, avgdl, params), starts)
+        # block summary = (max tf, min dl): tfn is increasing in tf and
+        # decreasing in dl, so tfn(max_tf, min_dl) >= every tfn in the
+        # block for ANY avgdl — unlike a materialized bmax_tfn, the bound
+        # stays valid when the corpus grows (extend_index shifts avgdl)
+        max_tf = np.maximum.reduceat(tfs, starts)
+        min_dl = np.minimum.reduceat(dls, starts)
 
         return pd.DataFrame(
             {
@@ -188,7 +193,8 @@ def _make_segment_encoder(avgdl: float, params: BM25Params, block_range: int):
                 "docs_bin": docs_bin,
                 "tfs_bin": tfs_bin,
                 "dls_bin": dls_bin,
-                "bmax_tfn": bmax,
+                "block_max_tf": max_tf,
+                "block_min_dl": min_dl,
             }
         )
 
@@ -283,6 +289,19 @@ def build_index(
             for f in futures:
                 f.result()
 
+    return _stage2(spark, out_path, mode, params, block_range, n_splits, out_partitions, cfg_hash)
+
+
+def _stage2(spark, out_path, mode, params, block_range, n_splits,
+            out_partitions, cfg_hash) -> LoadedIndex:
+    """Term-keyed merge of all stage-1 runs into the final index tables.
+    Rerunnable: consumes whatever checkpointed groups exist (including
+    extension groups) and rewrites postings/docs/stats/manifest."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     docs_all = spark.read.parquet(os.path.join(out_path, _STAGE1, "group=*", "docs"))
     tf_all = spark.read.parquet(os.path.join(out_path, _STAGE1, "group=*", "tf"))
 
@@ -292,7 +311,6 @@ def build_index(
     ).collect()[0]
     n_docs = int(stats_row["n_docs"])
     total_dl = int(stats_row["total_dl"] or 0)
-    avgdl = float(total_dl) / float(n_docs) if n_docs else 0.0
 
     if out_partitions is None:
         out_partitions = max(spark.sparkContext.defaultParallelism, 8)
@@ -310,9 +328,7 @@ def build_index(
     )
     term_stats = spark.read.parquet(os.path.join(out_path, "stats"))
 
-    # ---- stage 2b: block-max posting segments ----
-    from pyspark.sql import types as T
-
+    # ---- stage 2b: block-summary posting segments ----
     seg_schema = T.StructType(
         [
             T.StructField("term", T.StringType(), False),
@@ -321,10 +337,11 @@ def build_index(
             T.StructField("docs_bin", T.BinaryType(), False),
             T.StructField("tfs_bin", T.BinaryType(), False),
             T.StructField("dls_bin", T.BinaryType(), False),
-            T.StructField("bmax_tfn", T.DoubleType(), False),
+            T.StructField("block_max_tf", T.LongType(), False),
+            T.StructField("block_min_dl", T.LongType(), False),
         ]
     )
-    encode = _make_segment_encoder(avgdl, params, block_range)
+    encode = _make_segment_encoder(block_range)
     postings = (
         tf_all.withColumn("block_id", (F.col("doc_id") / F.lit(block_range)).cast("long"))
         # range partitioning doubles as the final term-sorted layout (the
@@ -359,9 +376,10 @@ def build_index(
 
     n_postings = int(seg_row["n_postings"] or 0)
     lineage = {}
-    for group in range(n_groups):
-        with open(_marker_path(out_path, group)) as f:
-            lineage[str(group)] = json.load(f)
+    for marker in sorted(_glob.glob(os.path.join(out_path, _STAGE1, "group=*", "_DONE.json"))):
+        with open(marker) as f:
+            meta = json.load(f)
+        lineage[str(meta["group"])] = meta
 
     manifest = IndexManifest(
         version=MANIFEST_VERSION,
@@ -389,3 +407,109 @@ def build_index(
     )
     manifest.save(out_path)
     return LoadedIndex(out_path, manifest)
+
+
+def extend_index(spark, index: LoadedIndex, new_corpus_df,
+                 out_partitions: Optional[int] = None) -> LoadedIndex:
+    """Incremental insert — the ``Index::add`` analog for a live index
+    (Index.h:353-378): append new documents without re-tokenizing the
+    existing corpus.
+
+    New docs get doc_ids continuing each split's ordinal sequence, so
+    existing doc_ids never change. Documents whose (repo, path, commit)
+    already exists are skipped (idempotent re-adds). Stage 2 reruns over
+    all checkpointed runs — old + new — so stats (df, avgdl) are globally
+    correct; block summaries are avgdl-independent by design, and BM25
+    scores naturally shift with the grown corpus exactly as the reference
+    scorer's would."""
+    import glob as _glob
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out_path = index.path
+    # always operate on the ON-DISK state: the caller may hold a stale
+    # handle from before a previous extension
+    m = IndexManifest.load(out_path)
+    index = LoadedIndex(out_path, m)
+    params = m.params
+    cfg_hash = _config_hash(m.tokenizer_mode, params, m.block_range, m.n_splits)
+    if cfg_hash != m.config_hash:
+        raise ValueError("manifest config hash mismatch; refusing to extend")
+
+    # next extension group id, from the checkpoint directories themselves
+    ext_ids = [
+        int(os.path.basename(d).split("=ext")[1])
+        for d in _glob.glob(os.path.join(out_path, _STAGE1, "group=ext*"))
+    ]
+    ext = f"ext{max(ext_ids) + 1 if ext_ids else 0}"
+    gdir = os.path.join(out_path, _STAGE1, f"group={ext}")
+
+    existing = index.docs(spark).select("repo", "path", "commit")
+    fresh = new_corpus_df.join(existing, ["repo", "path", "commit"], "left_anti")
+    if fresh.isEmpty():
+        return index  # idempotent re-add: nothing new, index unchanged
+
+    # per-split ordinal offsets from existing doc_ids (doc_id = ord*S + split)
+    S = m.n_splits
+    offsets = (
+        index.docs(spark)
+        .select(
+            F.pmod(F.col("doc_id"), F.lit(S)).alias("split"),
+            (F.col("doc_id") / F.lit(S)).cast("long").alias("ordinal"),
+        )
+        .groupBy("split")
+        .agg((F.max("ordinal") + 1).alias("offset"))
+    )
+
+    sub = fresh.withColumn(
+        "split", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(S)).cast("long")
+    ).join(F.broadcast(offsets), "split", "left").withColumn(
+        "offset", F.coalesce(F.col("offset"), F.lit(0).cast("long"))
+    )
+
+    w = Window.partitionBy("split").orderBy("repo", "path", "commit")
+    tfmap = make_tfmap_udf(m.tokenizer_mode)
+    base = sub.withColumn("ordinal", F.row_number().over(w) - 1 + F.col("offset")).withColumn(
+        "doc_id", F.col("ordinal") * F.lit(S) + F.col("split")
+    )
+
+    tf = (
+        base.withColumn("tfmap", tfmap(F.col("content")))
+        .withColumn(
+            "dl",
+            F.aggregate(F.map_values("tfmap"), F.lit(0).cast("long"), lambda a, x: a + x),
+        )
+        .select("doc_id", "dl", F.explode("tfmap").alias("term", "tf"))
+        .withColumn("tf", F.col("tf").cast("long"))
+    )
+    tf.write.mode("overwrite").parquet(os.path.join(gdir, "tf"))
+
+    dls = spark.read.parquet(os.path.join(gdir, "tf")).select("doc_id", "dl").distinct()
+    docs_out = (
+        base.select(
+            "doc_id", "repo", "path", "commit", "lang",
+            F.sha2(F.col("content"), 256).alias("content_sha"),
+        )
+        .join(F.broadcast(dls), "doc_id", "left")
+        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0).cast("long")))
+    )
+    docs_out.write.mode("overwrite").parquet(os.path.join(gdir, "docs"))
+
+    fp_row = (
+        spark.read.parquet(os.path.join(gdir, "docs"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(repo, path, `commit`, content_sha))").alias("fp"),
+        )
+        .collect()[0]
+    )
+    with open(os.path.join(gdir, "_DONE.json"), "w") as f:
+        json.dump(
+            {"group": ext, "config_hash": cfg_hash,
+             "n_docs": int(fp_row["n"] or 0), "input_fingerprint": int(fp_row["fp"] or 0)},
+            f,
+        )
+
+    return _stage2(spark, out_path, m.tokenizer_mode, params, m.block_range,
+                   m.n_splits, out_partitions, cfg_hash)

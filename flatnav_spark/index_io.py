@@ -14,7 +14,7 @@ On-disk layout under ``<path>/``:
     docs/                (doc_id, repo, path, commit, lang, content_sha, dl)
                          range-partitioned + sorted by doc_id
     postings/            (term, block_id, n, docs_bin, tfs_bin, dls_bin,
-                         bmax_tfn) range-partitioned + sorted by
+                         block_max_tf, block_min_dl) range-partitioned + sorted by
                          (term, block_id) — the gorder/RCM locality analog
                          (Reordering.h:26-200): layout chosen so a query's
                          term lookups hit few row groups

@@ -28,7 +28,8 @@ Block-max WAND pruning (``prune=True``) — the early-termination analog of
 beamSearch's ``max_dist`` cutoff (Index.h:630-632), lossless and
 SINGLE-pass: within a task, the per-query threshold t_k from blocks
 already scored only grows; a later block whose metadata upper bound
-(sum of idf * bmax_tfn over the query's terms, float-safety inflated)
+(sum of idf * tfn(block_max_tf, block_min_dl) over the query's terms,
+float-safety inflated)
 is strictly below t_k provably cannot change the top-k — the global
 k-th score is >= any task-local k-th score. Skipped work is counted via
 accumulators (the ``_distance_computations`` analog, Index.h:83-84).
@@ -93,11 +94,27 @@ def _make_partition_scorer(
     """mapInPandas kernel over a block_id-partitioned, (block_id, term)-
     sorted stream of posting segments. Memory per task: O(block_range ×
     n_queries_active) float64 for the accumulator — bound the query batch
-    size upstream for very large Q."""
+    size upstream for very large Q.
+
+    All per-query bookkeeping is vectorized: per term, the queries using it
+    are a pair of numpy arrays (indices, idf weights); upper bounds and the
+    accumulate are fancy-indexed adds / outer products. The outer-product
+    accumulate applies, per (query, doc) cell, exactly one scalar IEEE add
+    of w*tfn per term in ascending term order — bit-identical to the
+    reference scorer's sequential accumulation (IEEE multiply commutes)."""
     n_q = len(query_ids)
+    # term -> (query index array, idf weight array)
+    term_entries = {
+        t: (
+            np.array([q for q, _ in entry], dtype=np.int64),
+            np.array([w for _, w in entry], dtype=np.float64),
+        )
+        for t, entry in qmap.items()
+    }
 
     def score_partition(batches):
         topk = [_TopK(k) for _ in range(n_q)]
+        thr = np.full(n_q, -np.inf)  # per-query k-th score lower bound
         n_scored = 0
         n_pruned = 0
 
@@ -106,26 +123,27 @@ def _make_partition_scorer(
             block_id = int(pdf["block_id"].iloc[0])
             base = block_id * block_range
             terms = pdf["term"].to_numpy()
-            bmaxes = pdf["bmax_tfn"].to_numpy(np.float64)
+            # avgdl-independent block summary -> tfn upper bound per term:
+            # tfn is increasing in tf, decreasing in dl, so
+            # tfn(max_tf, min_dl) dominates every posting in the block
+            bmaxes = tf_norm(
+                pdf["block_max_tf"].to_numpy(np.int64),
+                pdf["block_min_dl"].to_numpy(np.int64),
+                avgdl,
+                params,
+            )
 
             # metadata-only per-query upper bound for this block
             ub = np.zeros(n_q, dtype=np.float64)
             for t_i in range(len(terms)):
-                entry = qmap.get(terms[t_i])
-                if not entry:
+                e = term_entries.get(terms[t_i])
+                if e is None:
                     continue
-                for q_idx, w in entry:
-                    ub[q_idx] += w * bmaxes[t_i]
+                ub[e[0]] += e[1] * bmaxes[t_i]
             present = ub > 0  # queries with at least one term in this block
             ub[present] = ub[present] * (1.0 + _UB_REL) + _UB_ABS
 
-            if prune:
-                active = np.array(
-                    [present[q] and ub[q] >= topk[q].threshold() for q in range(n_q)],
-                    dtype=bool,
-                )
-            else:
-                active = present
+            active = present & (ub >= thr) if prune else present
             if not active.any():
                 n_pruned += 1
                 return
@@ -136,26 +154,30 @@ def _make_partition_scorer(
             # rows arrive term-ascending (sortWithinPartitions) — per-doc
             # accumulation order matches the reference scorer exactly
             for row in pdf.itertuples(index=False):
-                entry = qmap.get(row.term)
-                if not entry:
+                e = term_entries.get(row.term)
+                if e is None:
                     continue
-                targets = [(q, w) for q, w in entry if active[q]]
-                if not targets:
+                mask = active[e[0]]
+                if not mask.any():
                     continue
+                qi = e[0][mask]
+                w = e[1][mask]
                 ids = decode_gaps(row.docs_bin, base)
                 tfs = varint_decode(row.tfs_bin).astype(np.int64)
                 dls = varint_decode(row.dls_bin).astype(np.int64)
                 tfn = tf_norm(tfs, dls, avgdl, params)
                 li = ids - base
-                for q_idx, w in targets:
-                    acc[li, q_idx] += w * tfn
-                    seen[li, q_idx] = True
+                cell = np.ix_(li, qi)
+                acc[cell] += np.multiply.outer(tfn, w)
+                seen[cell] = True
 
             for q_idx in np.flatnonzero(active):
                 rows = np.flatnonzero(seen[:, q_idx])
                 if rows.size == 0:
                     continue
-                topk[q_idx].push(rows + base, acc[rows, q_idx])
+                t = topk[q_idx]
+                t.push(rows + base, acc[rows, q_idx])
+                thr[q_idx] = t.threshold()
 
         carry: Optional[pd.DataFrame] = None
         for batch in batches:

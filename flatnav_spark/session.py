@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("FLATNAV_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill scratch on tmpfs when available: the sandbox's virtual
+    # disk shows multi-second stalls and writer contention; on a real
+    # cluster this is the usual fast local SSD setting
+    local_dir = os.environ.get("FLATNAV_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/flatnav_spark_local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
