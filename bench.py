@@ -61,7 +61,7 @@ def _get_corpus(spark, sf_dir: str, spec: str):
     """Corpus source: 'documents' (driver tables at sf_dir) or 'synth:<n>'
     (the deterministic 2k-vocab code corpus, cached as parquet so repeated
     runs at different parallelism read identical bytes)."""
-    from flatnav_spark.corpus import corpus_df, documents_as_corpus
+    from flatnav_spark.corpus import documents_as_corpus
 
     if spec.startswith("synth:"):
         from flatnav_spark.corpus import write_corpus_parquet

@@ -26,7 +26,7 @@ from typing import Iterator, Optional
 import numpy as np
 import pandas as pd
 
-from flatnav_spark.index_io import IndexManifest, LoadedIndex
+from flatnav_spark.index_io import LoadedIndex
 
 
 def optimize_index(spark, index: LoadedIndex, out_partitions: Optional[int] = None) -> LoadedIndex:
