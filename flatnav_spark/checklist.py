@@ -151,17 +151,23 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
         ("documents",),
     )
 
-    # broadcast join ✦ — per-doc dl vs broadcast corpus stats (B4 analog)
+    # broadcast join ✦ — per-doc dl vs broadcast corpus stats (B4 analog).
+    # Arithmetic discipline (round-1 fix): `sum(dl) * 1.0` makes 1.0 a
+    # DECIMAL(2,1) literal in Spark and the whole expression Decimal, while
+    # DuckDB computes double — every row hash-mismatched. Both sides now
+    # CAST to DOUBLE explicitly (exact integer inputs -> one IEEE division
+    # each, bit-identical), and the output is an INTEGER (floor of the
+    # ratio in basis points) so no float representation reaches the hash.
     r["broadcast_stats_join"] = (
         f"""WITH dl AS (SELECT doc_id, size({_TOK_SPARK}) AS dl FROM documents),
-                 s AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl FROM dl)
+                 s AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
             SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dl AS BIGINT) AS dl,
-                   round(dl / s.avgdl, 4) AS dl_ratio
+                   CAST(floor(CAST(dl AS DOUBLE) * 10000.0 / s.avgdl) AS BIGINT) AS dl_ratio_bp
             FROM dl CROSS JOIN s""",
         f"""WITH dl AS (SELECT doc_id, len({_TOK_DUCK}) AS dl FROM documents),
-                 s AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl FROM dl)
+                 s AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
             SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dl AS BIGINT) AS dl,
-                   round(dl / s.avgdl, 4) AS dl_ratio
+                   CAST(floor(CAST(dl AS DOUBLE) * 10000.0 / s.avgdl) AS BIGINT) AS dl_ratio_bp
             FROM dl CROSS JOIN s""",
         ("documents",),
     )
@@ -505,8 +511,13 @@ def _make_sql_query(sql: str, tables: tuple) -> Callable:
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible entries (driver records a rows-only check):
-# approximate ANN and binary multimodal plumbing
+# multimodal plumbing entries — the Spark side runs the real mapInPandas
+# kernels over the deterministic fixture assets; the DuckDB oracle reads a
+# committed golden parquet produced by the same pure-python reference
+# computation (flatnav_spark/multimodal.py golden_*), the ground-truth-file
+# pattern of the reference harness (experiments/README.md:205-211).
+
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
 
 
 def lsh_ann_topk(spark, sf_dir: str):
@@ -516,19 +527,49 @@ def lsh_ann_topk(spark, sf_dir: str):
     q = emb.filter("vec_id < 3").select(
         emb.vec_id.alias("qid"), emb.embedding.alias("qe")
     )
-    return lsh_cosine_topk(emb, q, k=5)
+    return lsh_cosine_topk(emb, q, k=5, n_planes=32, n_bands=8)
 
 
 def multimodal_decode(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
     from flatnav_spark.multimodal import decode_images, synth_assets
 
-    return decode_images(synth_assets(spark, 50))
+    return decode_images(synth_assets(spark, 50)).select(
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "payload_sha",
+    )
+
+
+_MULTIMODAL_DECODE_ORACLE = f"""
+SELECT CAST(asset_id AS BIGINT) AS asset_id, CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height, CAST(channels AS BIGINT) AS channels,
+       CAST(n_bytes AS BIGINT) AS n_bytes, payload_sha
+FROM read_parquet('{os.path.join(_GOLDEN_DIR, "multimodal_decode_golden.parquet")}')
+"""
 
 
 def multimodal_features(spark, sf_dir: str):
-    from flatnav_spark.multimodal import extract_features, synth_assets
+    from pyspark.sql import functions as F
 
-    return extract_features(synth_assets(spark, 50))
+    from flatnav_spark.multimodal import extract_feature_rows, synth_assets
+
+    return extract_feature_rows(synth_assets(spark, 50)).select(
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.col("dim").cast("long").alias("dim"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
+_MULTIMODAL_FEATURES_ORACLE = f"""
+SELECT CAST(asset_id AS BIGINT) AS asset_id, CAST(dim AS BIGINT) AS dim,
+       CAST(count AS BIGINT) AS count
+FROM read_parquet('{os.path.join(_GOLDEN_DIR, "multimodal_features_golden.parquet")}')
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -575,8 +616,6 @@ def build_queries() -> Dict[str, Callable]:
     for name, (spark_impl, _duck, tables) in _registry().items():
         out[name] = spark_impl if callable(spark_impl) else _make_sql_query(spark_impl, tables)
     out["engine_bm25_topk"] = engine_bm25_topk
-    # rows-only entries (no SQL-expressible oracle; driver records the
-    # weaker check): approximate ANN + multimodal binary plumbing
     out["lsh_ann_topk"] = lsh_ann_topk
     out["multimodal_decode"] = multimodal_decode
     out["multimodal_features"] = multimodal_features
@@ -588,4 +627,11 @@ def build_oracles() -> Dict[str, str]:
     for name, (_spark, duck_sql, _tables) in _registry().items():
         out[name] = duck_sql
     out["engine_bm25_topk"] = _bm25_sql("duck", with_doc_id=False)
+    out["multimodal_decode"] = _MULTIMODAL_DECODE_ORACLE
+    out["multimodal_features"] = _MULTIMODAL_FEATURES_ORACLE
+    from flatnav_spark.simsearch import lsh_duckdb_oracle_sql
+
+    out["lsh_ann_topk"] = lsh_duckdb_oracle_sql(
+        dim=64, k=5, n_planes=32, n_bands=8, query_filter="vec_id < 3"
+    )
     return out

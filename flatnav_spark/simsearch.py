@@ -8,21 +8,42 @@ the corpus allows and LSH-bucketed as the scale path.
   JVM-side, deterministic summation order (sequential fold), no UDF.
 - ``lsh_cosine_topk``: random-hyperplane LSH buckets (signature = sign
   bits of dot products with deterministic seeded planes), candidates =
-  bucket collisions (multi-probe over bands), exact cosine re-scoring on
-  candidates only. Approximate: recall measured in tests, the
-  recall@k-vs-QPS tradeoff axis of the reference's harness.
+  banded bucket collisions (multi-band OR-probing), exact cosine
+  re-scoring on candidates only. The signature is computed by ONE Arrow-
+  vectorized pandas UDF doing a float64 matmul against the plane matrix
+  shipped in the UDF closure (broadcast to executors) — no per-plane
+  literal expressions, so it stays cheap at dim >> 64 and n_planes >> 32.
+- ``lsh_duckdb_oracle_sql``: generates ANSI SQL (DuckDB dialect) that
+  replays the identical algorithm — literal plane vectors, same band
+  arithmetic, same re-scoring — so the driver can hash-check the LSH path
+  end-to-end instead of recording a rows-only result.
+
+Default sizing policy (the round-1 fix for "16 buckets at any scale"):
+bits_per_band grows with corpus size so expected bucket occupancy stays
+bounded (~TARGET_BUCKET_DOCS per bucket), n_bands stays at 8 OR-probes:
+
+    bits_per_band = clamp(ceil(log2(n / TARGET_BUCKET_DOCS)), 4, 24)
+    n_planes      = n_bands * bits_per_band
+
+At n=10^9 that is 8 bands x 20 bits = 160 planes and ~1M buckets/band, so
+the candidate join touches ~n_bands * TARGET_BUCKET_DOCS rows per query
+instead of the corpus.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 _SEED = 42
+DEFAULT_N_BANDS = 8
+TARGET_BUCKET_DOCS = 1024
 
 
 def _dot(a, b):
@@ -77,59 +98,86 @@ def _planes(dim: int, n_planes: int, seed: int = _SEED) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def _signature_col(vec_col, planes: np.ndarray):
-    """Bit-signature column: for each hyperplane, 1 if dot(vec, plane) >= 0."""
-    bits = None
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(vec_col, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bits = bit if bits is None else bits + bit
-    return bits.cast("int")
+def _make_band_signature_udf(planes: np.ndarray, n_bands: int):
+    """Arrow-vectorized pandas UDF: embedding array -> array<long> of one
+    bucket value per band (bits of that band's planes packed into an int).
+
+    The plane matrix rides in the UDF closure (Spark broadcasts closures to
+    executors once per stage) — the scale path the per-plane-literal
+    approach could not take: one float64 matmul per Arrow batch computes
+    every bit of every row. Per-band values (instead of one packed
+    signature) keep n_planes unbounded (no 63-bit int cap)."""
+    p = np.ascontiguousarray(planes, dtype=np.float64)
+    n_planes = p.shape[0]
+    bits_per_band = n_planes // n_bands
+    weights = np.int64(1) << np.arange(bits_per_band, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def band_signature(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64, copy=False)
+        bits = (mat @ p.T >= 0.0).reshape(len(mat), n_bands, bits_per_band)
+        vals = bits @ weights  # (n, n_bands)
+        return pd.Series(list(vals))
+
+    return band_signature
+
+
+def pick_lsh_size(n_vectors: int, n_bands: int = DEFAULT_N_BANDS) -> tuple[int, int]:
+    """(n_planes, n_bands) sized so expected bucket occupancy stays near
+    TARGET_BUCKET_DOCS regardless of corpus size."""
+    bits = math.ceil(math.log2(max(n_vectors, 2) / TARGET_BUCKET_DOCS))
+    bits = min(max(bits, 4), 24)
+    return n_bands * bits, n_bands
 
 
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
-    n_bands: int = 2,
+    n_planes: Optional[int] = None,
+    n_bands: int = DEFAULT_N_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "qid",
     q_vec_col: str = "qe",
     dim: Optional[int] = None,
+    seed: int = _SEED,
 ) -> DataFrame:
     """Approximate cosine top-k: hyperplane-LSH bucket join then exact
-    re-scoring of candidates. ``n_planes`` bits are split into ``n_bands``
-    bands; a candidate matches if ANY band agrees (multi-band OR-probing:
-    higher recall, more candidates). Returns (qid, rank, vec_id, cos) like
-    cosine_topk — identical schema so recall can be joined/measured.
+    re-scoring of candidates. ``n_planes`` bits split into ``n_bands``
+    bands; a candidate matches if ANY band agrees (OR-probing: higher
+    recall, more candidates). Returns (qid, rank, vec_id, cos) — identical
+    schema to cosine_topk so recall can be joined/measured.
 
-    Scale path: the bucket join shuffles only band keys; exact scoring
-    touches candidates, not the full corpus."""
+    When ``n_planes`` is None it is sized from the corpus count via
+    pick_lsh_size (one count job). Scale shape: the band join shuffles
+    (id, band_key) pairs only; exact scoring touches candidates, never the
+    full corpus."""
     if dim is None:
         first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(first["d"])
-    planes = _planes(dim, n_planes)
-    bits_per_band = n_planes // n_bands
+    if n_planes is None:
+        n_planes, n_bands = pick_lsh_size(embeddings.count(), n_bands)
+    if n_planes % n_bands:
+        raise ValueError(f"n_planes={n_planes} must be divisible by n_bands={n_bands}")
+    planes = _planes(dim, n_planes, seed)
+    sig_udf = _make_band_signature_udf(planes, n_bands)
 
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
     q = queries.select(F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qe"))
 
-    e = e.withColumn("sig", _signature_col(F.col("emb"), planes))
-    q = q.withColumn("sig", _signature_col(F.col("qe"), planes))
+    e = e.withColumn("sig", sig_udf(F.col("emb")))
+    q = q.withColumn("sig", sig_udf(F.col("qe")))
 
-    mask = (1 << bits_per_band) - 1
-    e_bands, q_bands = None, None
-    for b in range(n_bands):
-        band_val = F.shiftright(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
-        eb = e.select("vec_id", "emb", F.concat(F.lit(f"{b}:"), band_val.cast("string")).alias("band"))
-        qb = q.select("qid", "qe", F.concat(F.lit(f"{b}:"), band_val.cast("string")).alias("band"))
-        e_bands = eb if e_bands is None else e_bands.unionByName(eb)
-        q_bands = qb if q_bands is None else q_bands.unionByName(qb)
+    e_bands = e.select(
+        "vec_id", "emb", F.posexplode("sig").alias("band_id", "band_val")
+    )
+    q_bands = q.select(
+        "qid", "qe", F.posexplode("sig").alias("band_id", "band_val")
+    )
 
     cand = (
-        q_bands.join(e_bands, "band")
+        q_bands.join(e_bands, ["band_id", "band_val"])
         .select("qid", "qe", "vec_id", "emb")
         .dropDuplicates(["qid", "vec_id"])
     )
@@ -144,3 +192,75 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").cast("long").alias("qid"), "rank", F.col("vec_id").cast("long").alias("vec_id"), "cos")
     )
+
+
+def lsh_recall_at_k(spark, embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                    **lsh_kwargs) -> float:
+    """Measured recall@k of the LSH path vs the exact brute-force oracle —
+    the compute_recall analog (experiments/plotting/metrics.py:53-66)."""
+    exact = cosine_topk(embeddings, queries, k=k)
+    approx = lsh_cosine_topk(embeddings, queries, k=k, **lsh_kwargs)
+    hit = exact.join(approx, ["qid", "vec_id"], "left_semi").count()
+    total = exact.count()
+    return hit / total if total else 1.0
+
+
+def lsh_duckdb_oracle_sql(
+    dim: int,
+    k: int,
+    n_planes: int,
+    n_bands: int,
+    query_filter: str,
+    table: str = "embeddings",
+    seed: int = _SEED,
+) -> str:
+    """DuckDB SQL replaying lsh_cosine_topk exactly: the same seeded plane
+    matrix as literal vectors, the same band arithmetic on an integer
+    signature, the same candidate-dedup + exact re-score + rounded-rank.
+    Generated (like the minhash oracles above in checklist.py) so the
+    driver can hash-check the approximate path, not just count rows."""
+    planes = _planes(dim, n_planes, seed)
+    bits_per_band = n_planes // n_bands
+
+    def plane_literal(p: np.ndarray) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def band_val_expr(b: int) -> str:
+        # same bit packing as _make_band_signature_udf: bit j of band b is
+        # the sign of plane (b * bits_per_band + j)
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> embedding[i]::DOUBLE * ({plane_literal(planes[b * bits_per_band + j])})[i])) >= 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+            for j in range(bits_per_band)
+        )
+
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band_id, {band_val_expr(b)} AS band_val FROM {table}"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, e.vec_id
+  FROM bands q JOIN bands e ON q.band_id = e.band_id AND q.band_val = e.band_val
+  WHERE q.vec_id IN (SELECT vec_id FROM {table} WHERE {query_filter})
+),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         round(list_sum(list_transform(range(1, {dim + 1}),
+                  i -> qv.embedding[i]::DOUBLE * ev.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(qv.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(ev.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+  FROM cand c
+  JOIN {table} qv ON qv.vec_id = c.qid
+  JOIN {table} ev ON ev.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, rank, CAST(vec_id AS BIGINT) AS vec_id, cos
+FROM ranked WHERE rank <= {k}
+"""

@@ -29,6 +29,17 @@ def duck():
 
 
 def _normalize(val):
+    # Strictness contract: the driver hashes raw values, so the rehearsal
+    # must not coerce. A Decimal output means a Spark expression silently
+    # promoted to DECIMAL (e.g. `x * 1.0`) — the exact class of bug that
+    # slipped through round 1 — so it FAILS here instead of being rounded.
+    import decimal
+
+    if isinstance(val, decimal.Decimal):
+        raise AssertionError(
+            f"Decimal output {val!r}: cast the Spark expression to DOUBLE/BIGINT "
+            "explicitly — the driver's oracle computes double and will hash-mismatch"
+        )
     if val is None:
         return "NULL"
     if isinstance(val, bool):
@@ -36,16 +47,9 @@ def _normalize(val):
     if isinstance(val, float):
         if math.isnan(val):
             return "NaN"
-        return repr(round(val, 6))
+        return repr(val)
     if isinstance(val, bytes):
         return val.hex()
-    try:
-        import decimal
-
-        if isinstance(val, decimal.Decimal):
-            return repr(round(float(val), 6))
-    except ImportError:  # pragma: no cover
-        pass
     return str(val)
 
 
