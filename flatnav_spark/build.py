@@ -15,26 +15,35 @@ of the row key and the split count):
 
   No global sort, no range-partitioner sampling, no driver bottleneck:
   ids are dense-ish (compress well under gap coding), stable across
-  re-runs/cluster sizes, and balanced across splits by hash. Each group of
-  splits writes its ``docs`` rows and ``(term, doc_id, tf, dl)`` runs to a
-  checkpoint directory with a lineage marker — the resumable unit
-  (north_rule: "resumable from checkpoint with per-partition lineage").
+  re-runs/cluster sizes, and balanced across splits by hash. Each group
+  writes ONE combined table per group —
+
+    (doc_id, repo, path, commit, lang, content_sha, dl, tfmap)
+
+  — in a single tokenizer pass (zstd parquet). One write, no join, no
+  broadcast of any corpus-sized table (round-1 scale-killer removed:
+  tf-map and dl are computed on the same projection the docs columns come
+  from). Storing the per-doc tf MAP instead of exploded posting rows cuts
+  stage-1 I/O several-fold: doc_id/dl appear once per doc instead of once
+  per posting, and parquet dictionary-encodes the map's term keys. A
+  lineage marker (config hash, row count, key fingerprint) makes the group
+  the resumable unit (north_rule: "resumable from checkpoint with
+  per-partition lineage").
 
 Stage 2 — term-keyed merge into block-max segments (``connectNeighbors``
 merge analog, Index.h:765-834):
 
-    block_id = doc_id // block_range
-    groupBy(term, block_id) -> varint gap-coded segment + block_max_tfn
+    explode(tfmap) -> block_id = doc_id // block_range
+    repartitionByRange(term, block_id) -> varint gap-coded segment
+    term stats (df, cf) are then derived FROM the segments (sum of per-
+    segment n / sum_tf) — no second full-corpus aggregation pass.
 
   Grouping on (term, block_id) IS the hot-term skew treatment: block_id is
   a deterministic doc-range salt, so ``import`` with df=10^9 becomes many
   bounded groups (each <= block_range docs) instead of one straggler task.
-  The per-(term,doc) tf aggregation before it relies on map-side partial
-  aggregation (high-cardinality key, no skew); the per-term stats
-  aggregation reduces pre-combined partials. AQE skew-join splitting stays
-  on as a backstop.
+  AQE skew handling stays on as a backstop.
 
-All heavy lifting is DataFrame ops + Arrow-vectorized applyInPandas; the
+All heavy lifting is DataFrame ops + Arrow-vectorized mapInPandas; the
 only Python that touches data runs per Arrow batch on numpy arrays.
 """
 
@@ -44,7 +53,7 @@ import hashlib
 import json
 import os
 import shutil
-from typing import Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -75,74 +84,144 @@ def _config_hash(mode: str, params: BM25Params, block_range: int, n_splits: int)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def _marker_path(out_path: str, group: int) -> str:
+def _marker_path(out_path: str, group) -> str:
     return os.path.join(out_path, _STAGE1, f"group={group}", "_DONE.json")
 
 
-def _stage1_group(corpus_split, out_path: str, group: int, n_groups: int,
-                  n_splits: int, mode: str, cfg_hash: str) -> None:
-    """Tokenize + id-assign one group of splits; write docs + tf runs."""
-    from pyspark.sql import Window
+def _complete_groups(out_path: str) -> List[Tuple[str, dict]]:
+    """Stage-1 groups with a valid lineage marker, sorted by name.
+    Marker-less directories are crashed partial writes — NOT returned."""
+    import glob as _glob
+
+    out = []
+    for gdir in sorted(_glob.glob(os.path.join(out_path, _STAGE1, "group=*"))):
+        marker = os.path.join(gdir, "_DONE.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                out.append((os.path.basename(gdir).split("=", 1)[1], json.load(f)))
+    return out
+
+
+def _clean_orphan_groups(out_path: str) -> List[str]:
+    """Delete stage-1 group dirs that have no lineage marker (a crashed
+    write): their parquet may be partial and must not feed stage 2 or the
+    doc-id offset computation (the orphaned-group doc_id-collision hazard)."""
+    import glob as _glob
+
+    removed = []
+    for gdir in _glob.glob(os.path.join(out_path, _STAGE1, "group=*")):
+        if not os.path.exists(os.path.join(gdir, "_DONE.json")):
+            shutil.rmtree(gdir)
+            removed.append(gdir)
+    return removed
+
+
+def _group_docs_paths(out_path: str) -> List[str]:
+    """Explicit (non-glob) paths of every complete group's docs table —
+    the actual stage-2 input set."""
+    return [
+        os.path.join(out_path, _STAGE1, f"group={g}", "docs")
+        for g, _meta in _complete_groups(out_path)
+    ]
+
+
+def _with_doc_features(base, mode: str):
+    """content -> (content_sha, tfmap, dl) on the same projection: ONE
+    tokenizer pass, no join to bring dl back (round-1 fix: the old layout
+    broadcast-joined a per-document dl table, which grows linearly with
+    the corpus and cannot be broadcast at 10^9 docs)."""
     from pyspark.sql import functions as F
 
-    gdir = os.path.join(out_path, _STAGE1, f"group={group}")
-    spark = corpus_split.sparkSession
-    sub = corpus_split.filter(F.pmod(F.col("split"), F.lit(n_groups)) == group)
-
-    w = Window.partitionBy("split").orderBy("repo", "path", "commit")
     tfmap = make_tfmap_udf(mode)
-    base = sub.withColumn("ordinal", F.row_number().over(w)).withColumn(
-        "doc_id", (F.col("ordinal") - 1) * F.lit(int(n_splits)) + F.col("split")
-    )
-
-    # single tokenizer pass: UDF emits pre-counted (term -> tf) maps; dl is
-    # the JVM-side sum of map values; explode is JVM-side. No groupBy — the
-    # per-(term,doc) aggregation already happened inside the Arrow batch.
-    tf = (
-        base.withColumn("tfmap", tfmap(F.col("content")))
+    return (
+        base.withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .withColumn("tfmap", tfmap(F.col("content")))
         .withColumn(
             "dl",
             F.aggregate(F.map_values("tfmap"), F.lit(0).cast("long"), lambda a, x: a + x),
         )
-        .select("doc_id", "dl", F.explode("tfmap").alias("term", "tf"))
-        .withColumn("tf", F.col("tf").cast("long"))
-    )
-    tf.write.mode("overwrite").parquet(os.path.join(gdir, "tf"))
-
-    # docs table: metadata + sha (no tokenizer); dl joined back from the
-    # written tf run (zero-token docs get dl=0)
-    dls = (
-        spark.read.parquet(os.path.join(gdir, "tf"))
-        .select("doc_id", "dl")
-        .distinct()
-    )
-    docs_out = (
-        base.select(
-            "doc_id", "repo", "path", "commit", "lang",
-            F.sha2(F.col("content"), 256).alias("content_sha"),
+        .select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha", "dl", "tfmap"
         )
-        .join(F.broadcast(dls), "doc_id", "left")
-        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0).cast("long")))
     )
-    docs_out.write.mode("overwrite").parquet(os.path.join(gdir, "docs"))
 
-    # lineage marker: config + content fingerprint of the group's input,
-    # computed from the WRITTEN docs table (cheap narrow re-read)
+
+def _write_group(spark, combined_df, out_path: str, group, cfg_hash: str) -> None:
+    """Write one stage-1 group (single combined docs+tfmap table, zstd)
+    and its lineage marker. The marker fingerprints are computed from the
+    WRITTEN table (cheap narrow re-read: content_sha/keys only)."""
+    from pyspark.sql import functions as F
+
+    gdir = os.path.join(out_path, _STAGE1, f"group={group}")
+    combined_df.write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(gdir, "docs")
+    )
     fp_row = (
         spark.read.parquet(os.path.join(gdir, "docs"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # order-independent, overflow-free content fingerprint
+            # order-independent, overflow-free fingerprints
             F.expr("bit_xor(xxhash64(repo, path, `commit`, content_sha))").alias("fp"),
+            F.expr("bit_xor(xxhash64(repo, path, `commit`))").alias("kfp"),
         )
         .collect()[0]
     )
-    with open(_marker_path(out_path, group), "w") as f:
+    with open(os.path.join(gdir, "_DONE.json"), "w") as f:
         json.dump(
-            {"group": group, "config_hash": cfg_hash,
-             "n_docs": int(fp_row["n"] or 0), "input_fingerprint": int(fp_row["fp"] or 0)},
+            {
+                "group": group,
+                "config_hash": cfg_hash,
+                "n_docs": int(fp_row["n"] or 0),
+                "input_fingerprint": int(fp_row["fp"] or 0),
+                "key_fingerprint": int(fp_row["kfp"] or 0),
+            },
             f,
         )
+
+
+def _stage1_group(corpus_split, out_path: str, group: int, n_groups: int,
+                  n_splits: int, mode: str, cfg_hash: str) -> None:
+    """Tokenize + id-assign one group of splits; one combined write."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = corpus_split.sparkSession
+    sub = corpus_split.filter(F.pmod(F.col("split"), F.lit(n_groups)) == group)
+    w = Window.partitionBy("split").orderBy("repo", "path", "commit")
+    base = sub.withColumn("ordinal", F.row_number().over(w)).withColumn(
+        "doc_id", (F.col("ordinal") - 1) * F.lit(int(n_splits)) + F.col("split")
+    )
+    _write_group(spark, _with_doc_features(base, mode), out_path, group, cfg_hash)
+
+
+def _verify_resume_input(corpus_split, n_groups: int, done: List[Tuple[str, dict]]) -> None:
+    """Refuse to resume when the input no longer matches a checkpointed
+    group's lineage (the forked-lineage hazard). One narrow job over the
+    key columns only (content is never read): per-group row count +
+    order-independent key fingerprint. (repo, path, commit) identifies
+    content in a VCS corpus — a content edit changes the commit."""
+    from pyspark.sql import functions as F
+
+    done_numeric = {int(g): meta for g, meta in done if not str(g).startswith("ext")}
+    if not done_numeric:
+        return
+    rows = (
+        corpus_split.groupBy(F.pmod(F.col("split"), F.lit(n_groups)).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(repo, path, `commit`))").alias("kfp"),
+        )
+        .collect()
+    )
+    current = {int(r["g"]): (int(r["n"]), int(r["kfp"] or 0)) for r in rows}
+    for g, meta in done_numeric.items():
+        cur = current.get(g, (0, 0))
+        want = (int(meta.get("n_docs", -1)), int(meta.get("key_fingerprint", 0)))
+        if cur != want:
+            raise ValueError(
+                f"stage1 group {g} checkpoint was built from different input "
+                f"(rows/key-fp {want} != current {cur}); refusing to resume on forked lineage"
+            )
 
 
 def _make_segment_encoder(block_range: int):
@@ -184,6 +263,7 @@ def _make_segment_encoder(block_range: int):
         # stays valid when the corpus grows (extend_index shifts avgdl)
         max_tf = np.maximum.reduceat(tfs, starts)
         min_dl = np.minimum.reduceat(dls, starts)
+        sum_tf = np.add.reduceat(tfs, starts)
 
         return pd.DataFrame(
             {
@@ -195,6 +275,7 @@ def _make_segment_encoder(block_range: int):
                 "dls_bin": dls_bin,
                 "block_max_tf": max_tf,
                 "block_min_dl": min_dl,
+                "sum_tf": sum_tf,
             }
         )
 
@@ -243,8 +324,10 @@ def build_index(
     columns (repo, path, commit, lang, content). Returns a LoadedIndex.
 
     ``resume=True`` skips stage-1 groups whose lineage marker matches the
-    current config hash (kill-and-restart safe); any marker from a
-    different config aborts the build rather than forking lineage.
+    current config hash AND whose input (row count + key fingerprint) still
+    matches the current corpus (kill-and-restart safe); any mismatch aborts
+    the build rather than forking lineage. Marker-less group directories
+    (crashed writes) are deleted and redone.
     """
     from pyspark.sql import functions as F
 
@@ -254,6 +337,7 @@ def build_index(
     if not resume and os.path.exists(out_path):
         shutil.rmtree(out_path)
     os.makedirs(out_path, exist_ok=True)
+    _clean_orphan_groups(out_path)
 
     corpus_split = corpus_df.withColumn(
         "split", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_splits)).cast("long")
@@ -263,19 +347,17 @@ def build_index(
     # groups are independent jobs; submit them from parallel driver threads
     # so the scheduler overlaps their stages (wall clock ~ max, not sum) —
     # the executeInParallel analog (Multithreading.h:18-48) at job level
-    pending = []
-    for group in range(n_groups):
-        marker = _marker_path(out_path, group)
-        if os.path.exists(marker):
-            with open(marker) as f:
-                meta = json.load(f)
-            if meta.get("config_hash") != cfg_hash:
-                raise ValueError(
-                    f"stage1 group {group} checkpoint was built with a different "
-                    f"config ({meta.get('config_hash')} != {cfg_hash}); refusing to resume"
-                )
-            continue
-        pending.append(group)
+    done = _complete_groups(out_path)
+    for g, meta in done:
+        if meta.get("config_hash") != cfg_hash:
+            raise ValueError(
+                f"stage1 group {g} checkpoint was built with a different "
+                f"config ({meta.get('config_hash')} != {cfg_hash}); refusing to resume"
+            )
+    if resume and done:
+        _verify_resume_input(corpus_split, n_groups, done)
+    done_ids = {int(g) for g, _ in done if not str(g).startswith("ext")}
+    pending = [g for g in range(n_groups) if g not in done_ids]
     if pending:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -295,15 +377,20 @@ def build_index(
 def _stage2(spark, out_path, mode, params, block_range, n_splits,
             out_partitions, cfg_hash) -> LoadedIndex:
     """Term-keyed merge of all stage-1 runs into the final index tables.
-    Rerunnable: consumes whatever checkpointed groups exist (including
-    extension groups) and rewrites postings/docs/stats/manifest."""
-    import glob as _glob
-
+    Rerunnable: consumes whatever checkpointed (marker-complete) groups
+    exist — including extension groups — and rewrites
+    postings/docs/stats/manifest."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    docs_all = spark.read.parquet(os.path.join(out_path, _STAGE1, "group=*", "docs"))
-    tf_all = spark.read.parquet(os.path.join(out_path, _STAGE1, "group=*", "tf"))
+    group_paths = _group_docs_paths(out_path)
+    if not group_paths:
+        raise ValueError(f"no complete stage-1 groups under {out_path}")
+    combined = spark.read.parquet(*group_paths)
+    docs_all = combined.drop("tfmap")  # parquet never reads the map column
+    tf_all = combined.select(
+        "doc_id", "dl", F.explode("tfmap").alias("term", "tf")
+    ).withColumn("tf", F.col("tf").cast("long"))
 
     # ---- corpus stats (exact integer arithmetic -> deterministic avgdl) ----
     stats_row = docs_all.agg(
@@ -315,20 +402,7 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     if out_partitions is None:
         out_partitions = max(spark.sparkContext.defaultParallelism, 8)
 
-    # ---- stage 2a: per-term stats (map-side combined aggregation) ----
-    term_stats = tf_all.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
-    )
-    (
-        term_stats.repartitionByRange(out_partitions, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_path, "stats"))
-    )
-    term_stats = spark.read.parquet(os.path.join(out_path, "stats"))
-
-    # ---- stage 2b: block-summary posting segments ----
+    # ---- stage 2a: block-summary posting segments (THE shuffle) ----
     seg_schema = T.StructType(
         [
             T.StructField("term", T.StringType(), False),
@@ -339,6 +413,7 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
             T.StructField("dls_bin", T.BinaryType(), False),
             T.StructField("block_max_tf", T.LongType(), False),
             T.StructField("block_min_dl", T.LongType(), False),
+            T.StructField("sum_tf", T.LongType(), False),
         ]
     )
     encode = _make_segment_encoder(block_range)
@@ -352,6 +427,23 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
         .mapInPandas(encode, schema=seg_schema)
     )
     postings.write.mode("overwrite").parquet(os.path.join(out_path, "postings"))
+    seg_df = spark.read.parquet(os.path.join(out_path, "postings"))
+
+    # ---- stage 2b: per-term stats DERIVED from the segments ----
+    # df = sum of per-segment posting counts, cf = sum of per-segment tf
+    # sums: aggregates over the (already merged, much smaller) segment
+    # table instead of a second full shuffle over every posting row.
+    term_stats = seg_df.groupBy("term").agg(
+        F.sum("n").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+    )
+    (
+        term_stats.repartitionByRange(max(out_partitions // 4, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, "stats"))
+    )
+    term_stats = spark.read.parquet(os.path.join(out_path, "stats"))
 
     # ---- docs table, doc_id-ordered layout ----
     (
@@ -362,7 +454,6 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     )
 
     # ---- manifest + metrics ----
-    seg_df = spark.read.parquet(os.path.join(out_path, "postings"))
     seg_row = seg_df.agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("n").alias("n_postings"),
@@ -375,11 +466,7 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     ).collect()[0]
 
     n_postings = int(seg_row["n_postings"] or 0)
-    lineage = {}
-    for marker in sorted(_glob.glob(os.path.join(out_path, _STAGE1, "group=*", "_DONE.json"))):
-        with open(marker) as f:
-            meta = json.load(f)
-        lineage[str(meta["group"])] = meta
+    lineage = {str(g): meta for g, meta in _complete_groups(out_path)}
 
     manifest = IndexManifest(
         version=MANIFEST_VERSION,
@@ -421,7 +508,14 @@ def extend_index(spark, index: LoadedIndex, new_corpus_df,
     all checkpointed runs — old + new — so stats (df, avgdl) are globally
     correct; block summaries are avgdl-independent by design, and BM25
     scores naturally shift with the grown corpus exactly as the reference
-    scorer's would."""
+    scorer's would.
+
+    Crash safety: offsets and existing keys are computed from the union of
+    the marker-complete stage-1 groups (the actual stage-2 input), NOT the
+    final docs table — so an extend that crashed after its group marker
+    but before stage 2 can never hand out already-claimed doc_ids on the
+    next run. Marker-less (partially written) groups are deleted first.
+    """
     import glob as _glob
 
     from pyspark.sql import Window
@@ -437,24 +531,29 @@ def extend_index(spark, index: LoadedIndex, new_corpus_df,
     if cfg_hash != m.config_hash:
         raise ValueError("manifest config hash mismatch; refusing to extend")
 
+    _clean_orphan_groups(out_path)
+
     # next extension group id, from the checkpoint directories themselves
     ext_ids = [
         int(os.path.basename(d).split("=ext")[1])
         for d in _glob.glob(os.path.join(out_path, _STAGE1, "group=ext*"))
     ]
     ext = f"ext{max(ext_ids) + 1 if ext_ids else 0}"
-    gdir = os.path.join(out_path, _STAGE1, f"group={ext}")
 
-    existing = index.docs(spark).select("repo", "path", "commit")
-    fresh = new_corpus_df.join(existing, ["repo", "path", "commit"], "left_anti")
+    # the authoritative existing-docs view: union of all complete stage-1
+    # groups (column-pruned read: keys + doc_id only, tfmap never touched)
+    s1_docs = spark.read.parquet(*_group_docs_paths(out_path)).select(
+        "repo", "path", "commit", "doc_id"
+    )
+
+    fresh = new_corpus_df.join(s1_docs, ["repo", "path", "commit"], "left_anti")
     if fresh.isEmpty():
         return index  # idempotent re-add: nothing new, index unchanged
 
     # per-split ordinal offsets from existing doc_ids (doc_id = ord*S + split)
     S = m.n_splits
     offsets = (
-        index.docs(spark)
-        .select(
+        s1_docs.select(
             F.pmod(F.col("doc_id"), F.lit(S)).alias("split"),
             (F.col("doc_id") / F.lit(S)).cast("long").alias("ordinal"),
         )
@@ -462,6 +561,7 @@ def extend_index(spark, index: LoadedIndex, new_corpus_df,
         .agg((F.max("ordinal") + 1).alias("offset"))
     )
 
+    # offsets has at most n_splits rows — a true small-side broadcast
     sub = fresh.withColumn(
         "split", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(S)).cast("long")
     ).join(F.broadcast(offsets), "split", "left").withColumn(
@@ -469,47 +569,10 @@ def extend_index(spark, index: LoadedIndex, new_corpus_df,
     )
 
     w = Window.partitionBy("split").orderBy("repo", "path", "commit")
-    tfmap = make_tfmap_udf(m.tokenizer_mode)
     base = sub.withColumn("ordinal", F.row_number().over(w) - 1 + F.col("offset")).withColumn(
         "doc_id", F.col("ordinal") * F.lit(S) + F.col("split")
     )
-
-    tf = (
-        base.withColumn("tfmap", tfmap(F.col("content")))
-        .withColumn(
-            "dl",
-            F.aggregate(F.map_values("tfmap"), F.lit(0).cast("long"), lambda a, x: a + x),
-        )
-        .select("doc_id", "dl", F.explode("tfmap").alias("term", "tf"))
-        .withColumn("tf", F.col("tf").cast("long"))
-    )
-    tf.write.mode("overwrite").parquet(os.path.join(gdir, "tf"))
-
-    dls = spark.read.parquet(os.path.join(gdir, "tf")).select("doc_id", "dl").distinct()
-    docs_out = (
-        base.select(
-            "doc_id", "repo", "path", "commit", "lang",
-            F.sha2(F.col("content"), 256).alias("content_sha"),
-        )
-        .join(F.broadcast(dls), "doc_id", "left")
-        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0).cast("long")))
-    )
-    docs_out.write.mode("overwrite").parquet(os.path.join(gdir, "docs"))
-
-    fp_row = (
-        spark.read.parquet(os.path.join(gdir, "docs"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(repo, path, `commit`, content_sha))").alias("fp"),
-        )
-        .collect()[0]
-    )
-    with open(os.path.join(gdir, "_DONE.json"), "w") as f:
-        json.dump(
-            {"group": ext, "config_hash": cfg_hash,
-             "n_docs": int(fp_row["n"] or 0), "input_fingerprint": int(fp_row["fp"] or 0)},
-            f,
-        )
+    _write_group(spark, _with_doc_features(base, m.tokenizer_mode), out_path, ext, cfg_hash)
 
     return _stage2(spark, out_path, m.tokenizer_mode, params, m.block_range,
                    m.n_splits, out_partitions, cfg_hash)

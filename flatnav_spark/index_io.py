@@ -19,7 +19,9 @@ On-disk layout under ``<path>/``:
                          (Reordering.h:26-200): layout chosen so a query's
                          term lookups hit few row groups
     stats/               (term, df, cf)
-    _stage1/             per-group build checkpoints (tf runs + doc rows)
+    _stage1/             per-group build checkpoints: group=*/docs is ONE
+                         combined zstd table (doc_id, repo, path, commit,
+                         lang, content_sha, dl, tfmap) + _DONE.json lineage
 """
 
 from __future__ import annotations
@@ -30,7 +32,9 @@ from dataclasses import asdict, dataclass, field
 
 from flatnav_spark.scorer import BM25Params
 
-MANIFEST_VERSION = 1
+# v2: combined stage-1 layout (docs+tfmap single table), sum_tf segment
+# column, key_fingerprint lineage markers — v1 checkpoints refuse to resume
+MANIFEST_VERSION = 2
 
 
 @dataclass

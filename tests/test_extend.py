@@ -66,3 +66,56 @@ def test_extend_idempotent_readd(spark, setup):
     assert ext.manifest.n_docs == 120
     assert ext.docs(spark).select("doc_id").distinct().count() == 120
     _parity(spark, ext, first + second, synth_queries(8))
+
+
+def test_extend_survives_orphaned_prior_extend(spark, tmp_path):
+    """An extend that crashed after writing its group but before stage 2
+    must not cause the next extend to reuse doc_ids (ADVICE round 1):
+    offsets come from the union of complete stage-1 groups, and a
+    marker-less group is discarded entirely."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "index")
+    rows = synth_corpus(90)
+    a, b, c = rows[:40], rows[40:70], rows[70:]
+    index = build_index(spark.createDataFrame(a, SCHEMA), out, mode="code",
+                        n_splits=8, n_groups=2, block_range=64, out_partitions=4)
+
+    # extend with b, then simulate "crashed before stage 2": the ext group
+    # and marker exist but docs/postings/stats are the PRE-extend state
+    pre_docs = os.path.join(out, "docs__pre")
+    shutil.copytree(os.path.join(out, "docs"), pre_docs)
+    extend_index(spark, index, spark.createDataFrame(b, SCHEMA), out_partitions=4)
+    shutil.rmtree(os.path.join(out, "docs"))
+    os.rename(pre_docs, os.path.join(out, "docs"))
+
+    # next extend (c) must see b's doc_ids from the stage-1 union and not
+    # collide; stage 2 then rebuilds everything consistently
+    from flatnav_spark.index_io import load_index
+    ext = extend_index(spark, load_index(out), spark.createDataFrame(c, SCHEMA),
+                       out_partitions=4)
+    assert ext.manifest.n_docs == 90
+    ids = [r.doc_id for r in ext.docs(spark).collect()]
+    assert len(ids) == len(set(ids)) == 90
+    _parity(spark, ext, rows, synth_queries(10))
+
+
+def test_extend_discards_markerless_group(spark, tmp_path):
+    import os
+    import shutil
+
+    out = str(tmp_path / "index")
+    rows = synth_corpus(60)
+    index = build_index(spark.createDataFrame(rows[:40], SCHEMA), out, mode="code",
+                        n_splits=8, n_groups=2, block_range=64, out_partitions=4)
+    # fake a crashed ext write: directory with parquet-ish content, no marker
+    bad = os.path.join(out, "_stage1", "group=ext0")
+    os.makedirs(os.path.join(bad, "docs"))
+    with open(os.path.join(bad, "docs", "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    ext = extend_index(spark, index, spark.createDataFrame(rows[40:], SCHEMA),
+                       out_partitions=4)
+    assert ext.manifest.n_docs == 60
+    assert not os.path.exists(os.path.join(bad, "docs", "part-junk.parquet"))
+    _parity(spark, ext, rows, synth_queries(8))

@@ -41,7 +41,12 @@ def test_postings_table_roundtrip(spark, built):
     import os
 
     decoded = postings_table(spark, built)
-    tf_all = spark.read.parquet(os.path.join(built.path, "_stage1", "group=*", "tf"))
+    tf_all = (
+        spark.read.parquet(os.path.join(built.path, "_stage1", "group=0", "docs"),
+                           os.path.join(built.path, "_stage1", "group=1", "docs"))
+        .select("doc_id", "dl", F.explode("tfmap").alias("term", "tf"))
+        .withColumn("tf", F.col("tf").cast("long"))
+    )
     a = decoded.groupBy().agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(xxhash64(term, doc_id, tf, dl))").alias("fp"),

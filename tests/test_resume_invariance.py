@@ -114,3 +114,38 @@ def test_partitioning_invariance(spark, tmp_path):
     assert _index_content_hash(spark, a) == _index_content_hash(spark, b)
     queries = synth_queries(15)
     assert _topk(spark, a, queries) == _topk(spark, b, queries)
+
+
+def test_resume_refuses_forked_input(spark, tmp_path):
+    """Resuming with a changed corpus must abort, not silently mix
+    lineages (round-2 fix: markers carry a key fingerprint now)."""
+    path = str(tmp_path / "idx")
+    kw = dict(mode="code", n_splits=8, n_groups=2, block_range=64)
+    build_index(corpus_df(spark, 40), path, **kw)
+    # keep stage-1 checkpoints, drop the final tables (simulated crash
+    # before stage 2), then resume with a DIFFERENT corpus
+    for entry in os.listdir(path):
+        if entry != "_stage1":
+            p = os.path.join(path, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    with pytest.raises(ValueError, match="forked lineage"):
+        build_index(corpus_df(spark, 60), path, resume=True, **kw)
+
+
+def test_resume_ignores_orphan_group(spark, tmp_path):
+    """A marker-less (crashed mid-write) group dir must be discarded and
+    rebuilt, yielding the same index as a fresh build."""
+    corpus = corpus_df(spark, N_DOCS)
+    kw = dict(mode="code", n_splits=8, n_groups=4, block_range=64, out_partitions=4)
+    fresh = build_index(corpus, str(tmp_path / "fresh"), **kw)
+
+    crashed = str(tmp_path / "crashed")
+    build_index(corpus, crashed, **kw)
+    for entry in os.listdir(crashed):
+        if entry != "_stage1":
+            p = os.path.join(crashed, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    # simulate a crash mid-write of group 3: marker gone, parquet partial
+    os.remove(os.path.join(crashed, "_stage1", "group=3", "_DONE.json"))
+    resumed = build_index(corpus, crashed, resume=True, **kw)
+    assert _index_content_hash(spark, fresh) == _index_content_hash(spark, resumed)
