@@ -73,7 +73,8 @@ def cmd_optimize(args) -> int:
     from flatnav_spark.maintenance import optimize_index
 
     spark = _spark("flatnav_optimize")
-    index = optimize_index(spark, load_index(args.index), args.partitions)
+    index = optimize_index(spark, load_index(args.index), args.partitions,
+                           strategy=args.strategy)
     print(json.dumps(index.info()))
     return 0
 
@@ -122,6 +123,7 @@ def main(argv=None) -> int:
     o = sub.add_parser("optimize")
     o.add_argument("--index", required=True)
     o.add_argument("--partitions", type=int, default=None)
+    o.add_argument("--strategy", default="term", choices=["term", "doc"])
     o.set_defaults(fn=cmd_optimize)
 
     i = sub.add_parser("info")

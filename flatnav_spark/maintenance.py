@@ -29,25 +29,56 @@ import pandas as pd
 from flatnav_spark.index_io import LoadedIndex
 
 
-def optimize_index(spark, index: LoadedIndex, out_partitions: Optional[int] = None) -> LoadedIndex:
-    """Rewrite the postings table with a fresh term-clustered layout.
+# layout strategies — the gorder/rcm pair (Reordering.h:26-117, 119-200):
+# two physical orders over the same logical content, benchmarked against
+# each other (tools/query_npy.cpp:34-41).
+#   term: cluster by (term, block_id) — best term-pruned scans (gorder
+#         analog: neighbors-of-a-term contiguous)
+#   doc:  cluster by (block_id, term) — aligns with the query path's
+#         block_id shuffle key, best when queries touch most terms (rcm
+#         analog: breadth-first doc-range order)
+LAYOUT_STRATEGIES = ("term", "doc")
 
-    In-place at the index path (writes to a temp subdir then swaps), like
-    ``relabel``'s in-place permutation (Index.h:872-926) but crash-safe:
-    the swap is the last step."""
+
+def _recover_postings_swap(index_path: str) -> None:
+    """Make optimize_index crash-safe to re-run: if a previous run died
+    between the two renames, postings/ is missing but postings__old has
+    the intact pre-optimize table — restore it. Stale temp/old dirs from
+    any other crash point are deleted."""
     import shutil
 
-    from pyspark.sql import functions as F
+    postings = os.path.join(index_path, "postings")
+    old = os.path.join(index_path, "postings__old")
+    tmp = os.path.join(index_path, "postings__optimizing")
+    if not os.path.exists(postings) and os.path.exists(old):
+        os.rename(old, postings)
+    for stale in (old, tmp):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
 
+
+def optimize_index(spark, index: LoadedIndex, out_partitions: Optional[int] = None,
+                   strategy: str = "term") -> LoadedIndex:
+    """Rewrite the postings table with a fresh clustered layout
+    (``strategy`` in LAYOUT_STRATEGIES). In-place at the index path, like
+    ``relabel``'s in-place permutation (Index.h:872-926), crash-safe:
+    recovery at entry + rename-swap at the end, so every crash point
+    leaves either the old or the new table intact and a re-run converges."""
+    import shutil
+
+    if strategy not in LAYOUT_STRATEGIES:
+        raise ValueError(f"unknown layout strategy {strategy!r}; expected one of {LAYOUT_STRATEGIES}")
     if out_partitions is None:
         out_partitions = max(spark.sparkContext.defaultParallelism // 2, 4)
 
+    _recover_postings_swap(index.path)
     postings_path = os.path.join(index.path, "postings")
     tmp_path = os.path.join(index.path, "postings__optimizing")
+    keys = ["term", "block_id"] if strategy == "term" else ["block_id", "term"]
     (
         spark.read.parquet(postings_path)
-        .repartitionByRange(out_partitions, "term", "block_id")
-        .sortWithinPartitions("term", "block_id")
+        .repartitionByRange(out_partitions, *keys)
+        .sortWithinPartitions(*keys)
         .write.mode("overwrite")
         .parquet(tmp_path)
     )
@@ -58,6 +89,7 @@ def optimize_index(spark, index: LoadedIndex, out_partitions: Optional[int] = No
 
     m = index.manifest
     m.metrics["optimized_partitions"] = out_partitions
+    m.metrics["layout_strategy"] = strategy
     m.save(index.path)
     return LoadedIndex(index.path, m)
 

@@ -74,3 +74,47 @@ def test_validate_detects_manifest_drift(spark, built):
             validate_index(spark, built)
     finally:
         built.manifest.n_docs -= 1
+
+
+def test_optimize_doc_strategy_identical_results(spark, built, tmp_path):
+    """Second layout strategy (rcm analog): different physical order, same
+    logical content and identical query results."""
+    import os
+    import shutil
+
+    clone = str(tmp_path / "clone")
+    shutil.copytree(built.path, clone)
+    from flatnav_spark.index_io import load_index
+    idx = load_index(clone)
+    queries = synth_queries(12)
+    before = _topk(spark, idx, queries)
+    opt = optimize_index(spark, idx, out_partitions=2, strategy="doc")
+    assert opt.manifest.metrics["layout_strategy"] == "doc"
+    assert before == _topk(spark, opt, queries)
+    validate_index(spark, opt)
+    with pytest.raises(ValueError, match="unknown layout strategy"):
+        optimize_index(spark, opt, strategy="zorder")
+
+
+def test_optimize_swap_crash_recovery(spark, built, tmp_path):
+    """Crash between the two swap renames leaves no postings/ dir; the next
+    optimize run must recover the old table and converge."""
+    import os
+    import shutil
+
+    clone = str(tmp_path / "crashclone")
+    shutil.copytree(built.path, clone)
+    from flatnav_spark.index_io import load_index
+    idx = load_index(clone)
+    queries = synth_queries(8)
+    before = _topk(spark, idx, queries)
+
+    # simulate the worst crash point: postings renamed away, tmp not yet in
+    os.rename(os.path.join(clone, "postings"), os.path.join(clone, "postings__old"))
+    # plus a stale tmp dir from the dead run
+    os.makedirs(os.path.join(clone, "postings__optimizing", "junk"))
+
+    opt = optimize_index(spark, load_index(clone), out_partitions=2)
+    assert _topk(spark, opt, queries) == before
+    assert not os.path.exists(os.path.join(clone, "postings__old"))
+    assert not os.path.exists(os.path.join(clone, "postings__optimizing"))
