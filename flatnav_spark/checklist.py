@@ -51,6 +51,48 @@ def _values_clause() -> str:
     return rows
 
 
+def _tfidf_sql(dialect: str) -> str:
+    """TF-IDF inner-product (the IP-metric scorer variant) over
+    `documents`, top-10 per query: score = sum(idf^2 * tf)."""
+    tok = _TOK_SPARK if dialect == "spark" else _TOK_DUCK
+    explode = (
+        f"SELECT doc_id, explode({tok}) AS term FROM documents"
+        if dialect == "spark"
+        else f"SELECT doc_id, unnest({tok}) AS term FROM documents"
+    )
+    vals = _values_clause()
+    qcte = (
+        f"SELECT * FROM VALUES {vals} AS t(query_id, term)"
+        if dialect == "spark"
+        else f"SELECT * FROM (VALUES {vals}) AS t(query_id, term)"
+    )
+    return f"""
+WITH toks AS ({explode}),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS ({qcte}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.tf) AS raw
+  FROM q
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, round(raw, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(raw, 4) DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, rank, score
+FROM ranked WHERE rank <= {_K}
+"""
+
+
 def _bm25_sql(dialect: str, with_doc_id: bool) -> str:
     """Full BM25 (k1=1.2, b=0.75, Lucene idf) over `documents`, top-10 per
     query, ranked by rounded score with doc_id tie-break."""
@@ -611,11 +653,32 @@ def engine_bm25_topk(spark, sf_dir: str):
     )
 
 
+def engine_tfidf_topk(spark, sf_dir: str):
+    """The second scorer (TF-IDF inner product, the IP-metric analog)
+    through the REAL engine against a pure-SQL oracle — proof the
+    scorer.py seam is a working two-variant interface like flatnav's
+    DistanceInterface (DistanceInterface.h:14)."""
+    from pyspark.sql import functions as F
+
+    from flatnav_spark.query import batch_query
+
+    idx = _engine_index_for(spark, sf_dir)
+    qrows = [(qid, " ".join(terms)) for qid, terms in _BM25_QUERIES]
+    qdf = spark.createDataFrame(qrows, "query_id long, query_text string")
+    res = batch_query(spark, idx, qdf, k=_K, prune=True, scorer="tfidf_ip")
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def build_queries() -> Dict[str, Callable]:
     out: Dict[str, Callable] = {}
     for name, (spark_impl, _duck, tables) in _registry().items():
         out[name] = spark_impl if callable(spark_impl) else _make_sql_query(spark_impl, tables)
     out["engine_bm25_topk"] = engine_bm25_topk
+    out["engine_tfidf_topk"] = engine_tfidf_topk
     out["lsh_ann_topk"] = lsh_ann_topk
     out["multimodal_decode"] = multimodal_decode
     out["multimodal_features"] = multimodal_features
@@ -627,6 +690,7 @@ def build_oracles() -> Dict[str, str]:
     for name, (_spark, duck_sql, _tables) in _registry().items():
         out[name] = duck_sql
     out["engine_bm25_topk"] = _bm25_sql("duck", with_doc_id=False)
+    out["engine_tfidf_topk"] = _tfidf_sql("duck")
     out["multimodal_decode"] = _MULTIMODAL_DECODE_ORACLE
     out["multimodal_features"] = _MULTIMODAL_FEATURES_ORACLE
     from flatnav_spark.simsearch import lsh_duckdb_oracle_sql

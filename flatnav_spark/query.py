@@ -1,4 +1,4 @@
-"""Batched BM25 top-k query — the analog of flatnav's batched ``search``
+"""Batched top-k query — the analog of flatnav's batched ``search``
 (python-bindings/src/flatnav/bindings.cpp:161-228: thread fan-out over
 queries against a shared read-only index). Here the read-only index is the
 postings parquet, the fan-out is Spark task parallelism over posting
@@ -24,15 +24,26 @@ Plan shape — ONE shuffle on the hot path, no join:
      final window row_number() over (score desc, doc_id asc) <= k — the
      Q4 sort+truncate analog (Index.h:402-406) with explicit tie-breaking.
 
+Scoring is pluggable (flatnav_spark.scorer.SCORERS — the L2/IP
+distance-interface analog): the index stores raw (tf, dl, df), so BM25 and
+TF-IDF-IP both run against one index, selected per query batch.
+
 Block-max WAND pruning (``prune=True``) — the early-termination analog of
 beamSearch's ``max_dist`` cutoff (Index.h:630-632), lossless and
 SINGLE-pass: within a task, the per-query threshold t_k from blocks
 already scored only grows; a later block whose metadata upper bound
-(sum of idf * tfn(block_max_tf, block_min_dl) over the query's terms,
-float-safety inflated)
+(sum of weight * tfn_upper over the query's terms, float-safety inflated)
 is strictly below t_k provably cannot change the top-k — the global
 k-th score is >= any task-local k-th score. Skipped work is counted via
 accumulators (the ``_distance_computations`` analog, Index.h:83-84).
+
+Memory discipline (round-2 fix): the per-block accumulator is sized to
+(block_range x ACTIVE queries in that block), not the whole batch, and
+``batch_query`` chunks query sets above ``max_queries_per_pass`` — per-task
+memory is flat in the total query count. The WAND bookkeeping itself is
+vectorized (one np.add.at over a precomputed CSR of (term -> queries)) and
+skipped entirely while no query has a full top-k yet, so pruning costs
+~nothing when it cannot help (the round-1 N32 regression).
 """
 
 from __future__ import annotations
@@ -44,8 +55,7 @@ import pandas as pd
 
 from flatnav_spark.codec import decode_gaps, varint_decode
 from flatnav_spark.index_io import LoadedIndex
-from flatnav_spark.scorer import idf as idf_fn
-from flatnav_spark.scorer import tf_norm
+from flatnav_spark.scorer import get_scorer
 from flatnav_spark.tokenizer import make_tokenize_udf
 
 # multiplicative + absolute inflation of upper bounds: guards against
@@ -53,6 +63,8 @@ from flatnav_spark.tokenizer import make_tokenize_udf
 # exact scorer; keeps WAND lossless.
 _UB_REL = 1e-9
 _UB_ABS = 1e-12
+
+DEFAULT_MAX_QUERIES_PER_PASS = 4096
 
 
 class _TopK:
@@ -79,12 +91,51 @@ class _TopK:
         return float(self.scores[-1])
 
 
+class _QueryPlan:
+    """Precomputed CSR of term -> (query indices, weights), shared by every
+    task via the UDF closure. tid order = ascending term order — the
+    accumulation-order determinism contract."""
+
+    def __init__(self, qmap: Dict[str, List[Tuple[int, float]]]):
+        self.terms = sorted(qmap.keys())
+        self.tid = {t: i for i, t in enumerate(self.terms)}
+        offs = [0]
+        q_idx: List[int] = []
+        weights: List[float] = []
+        for t in self.terms:
+            for q, w in qmap[t]:
+                q_idx.append(q)
+                weights.append(w)
+            offs.append(len(q_idx))
+        self.offsets = np.asarray(offs, dtype=np.int64)
+        self.q_idx = np.asarray(q_idx, dtype=np.int64)
+        self.weights = np.asarray(weights, dtype=np.float64)
+
+    def row_tids(self, terms: np.ndarray) -> np.ndarray:
+        """Vectorized term -> tid (-1 for unknown)."""
+        return pd.Series(terms).map(self.tid).fillna(-1).to_numpy(np.int64)
+
+    def flatten(self, tids: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """For segment rows with term ids ``tids`` (all >= 0): indices into
+        (q_idx, weights) for every (row, query-using-row's-term) pair, plus
+        the per-row pair counts. Pure numpy, no python loop."""
+        starts = self.offsets[tids]
+        lens = (self.offsets[tids + 1] - starts).astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64), lens
+        base = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        flat = base + np.arange(total, dtype=np.int64)
+        rows = np.repeat(np.arange(len(tids), dtype=np.int64), lens)
+        return flat, rows, lens
+
+
 def _make_partition_scorer(
-    qmap: Dict[str, List[Tuple[int, float]]],
+    plan: _QueryPlan,
     query_ids: np.ndarray,
-    n_docs: int,
     avgdl: float,
     params,
+    scorer_name: str,
     block_range: int,
     k: int,
     prune: bool,
@@ -92,92 +143,101 @@ def _make_partition_scorer(
     acc_blocks_pruned=None,
 ):
     """mapInPandas kernel over a block_id-partitioned, (block_id, term)-
-    sorted stream of posting segments. Memory per task: O(block_range ×
-    n_queries_active) float64 for the accumulator — bound the query batch
-    size upstream for very large Q.
+    sorted stream of posting segments. Per-block memory:
+    O(block_range x active queries) float64 — active, not total.
 
-    All per-query bookkeeping is vectorized: per term, the queries using it
-    are a pair of numpy arrays (indices, idf weights); upper bounds and the
-    accumulate are fancy-indexed adds / outer products. The outer-product
-    accumulate applies, per (query, doc) cell, exactly one scalar IEEE add
-    of w*tfn per term in ascending term order — bit-identical to the
-    reference scorer's sequential accumulation (IEEE multiply commutes)."""
+    The outer-product accumulate applies, per (query, doc) cell, exactly
+    one scalar IEEE add of w*tfn per term in ascending term order —
+    bit-identical to the reference scorer's sequential accumulation (IEEE
+    multiply commutes)."""
     n_q = len(query_ids)
-    # term -> (query index array, idf weight array)
-    term_entries = {
-        t: (
-            np.array([q for q, _ in entry], dtype=np.int64),
-            np.array([w for _, w in entry], dtype=np.float64),
-        )
-        for t, entry in qmap.items()
-    }
+    scorer = get_scorer(scorer_name)
 
     def score_partition(batches):
         topk = [_TopK(k) for _ in range(n_q)]
         thr = np.full(n_q, -np.inf)  # per-query k-th score lower bound
         n_scored = 0
         n_pruned = 0
+        any_full = False  # becomes True once some top-k fills -> bounds can prune
 
         def do_block(pdf: pd.DataFrame) -> None:
-            nonlocal n_scored, n_pruned
+            nonlocal n_scored, n_pruned, any_full
             block_id = int(pdf["block_id"].iloc[0])
             base = block_id * block_range
-            terms = pdf["term"].to_numpy()
-            # avgdl-independent block summary -> tfn upper bound per term:
-            # tfn is increasing in tf, decreasing in dl, so
-            # tfn(max_tf, min_dl) dominates every posting in the block
-            bmaxes = tf_norm(
-                pdf["block_max_tf"].to_numpy(np.int64),
-                pdf["block_min_dl"].to_numpy(np.int64),
-                avgdl,
-                params,
-            )
+            tids = plan.row_tids(pdf["term"].to_numpy())
+            known = tids >= 0
+            if not known.any():
+                return
+            if not known.all():
+                pdf = pdf[known]
+                tids = tids[known]
+            flat, rows, lens = plan.flatten(tids)
+            qi_all = plan.q_idx[flat]
 
-            # metadata-only per-query upper bound for this block
-            ub = np.zeros(n_q, dtype=np.float64)
-            for t_i in range(len(terms)):
-                e = term_entries.get(terms[t_i])
-                if e is None:
-                    continue
-                ub[e[0]] += e[1] * bmaxes[t_i]
-            present = ub > 0  # queries with at least one term in this block
-            ub[present] = ub[present] * (1.0 + _UB_REL) + _UB_ABS
-
-            active = present & (ub >= thr) if prune else present
+            present = np.zeros(n_q, dtype=bool)
+            present[qi_all] = True
+            if prune and any_full:
+                # metadata-only per-query upper bound for this block —
+                # one vectorized scatter-add over the CSR expansion
+                bmaxes = scorer.tfn_upper(
+                    pdf["block_max_tf"].to_numpy(np.int64),
+                    pdf["block_min_dl"].to_numpy(np.int64),
+                    avgdl,
+                    params,
+                )
+                ub = np.bincount(
+                    qi_all, weights=plan.weights[flat] * bmaxes[rows], minlength=n_q
+                )
+                ub[present] = ub[present] * (1.0 + _UB_REL) + _UB_ABS
+                active = present & (ub >= thr)
+            else:
+                active = present
             if not active.any():
                 n_pruned += 1
                 return
             n_scored += 1
 
-            acc = np.zeros((block_range, n_q), dtype=np.float64)
-            seen = np.zeros((block_range, n_q), dtype=bool)
+            # active-query column compression: accumulator is sized to the
+            # queries this block can touch, not the whole batch
+            act = np.flatnonzero(active)
+            n_act = act.size
+            inv = np.full(n_q, -1, dtype=np.int64)
+            inv[act] = np.arange(n_act, dtype=np.int64)
+            acc = np.zeros((block_range, n_act), dtype=np.float64)
+            seen = np.zeros((block_range, n_act), dtype=bool)
+
             # rows arrive term-ascending (sortWithinPartitions) — per-doc
             # accumulation order matches the reference scorer exactly
-            for row in pdf.itertuples(index=False):
-                e = term_entries.get(row.term)
-                if e is None:
+            row_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            for r, row in enumerate(pdf.itertuples(index=False)):
+                if lens[r] == 0:
                     continue
-                mask = active[e[0]]
+                sl = slice(row_start[r], row_start[r] + lens[r])
+                qi = qi_all[sl]
+                mask = active[qi]
                 if not mask.any():
                     continue
-                qi = e[0][mask]
-                w = e[1][mask]
+                cols = inv[qi[mask]]
+                w = plan.weights[flat[sl]][mask]
                 ids = decode_gaps(row.docs_bin, base)
                 tfs = varint_decode(row.tfs_bin).astype(np.int64)
                 dls = varint_decode(row.dls_bin).astype(np.int64)
-                tfn = tf_norm(tfs, dls, avgdl, params)
+                tfn = scorer.tfn(tfs, dls, avgdl, params)
                 li = ids - base
-                cell = np.ix_(li, qi)
+                cell = np.ix_(li, cols)
                 acc[cell] += np.multiply.outer(tfn, w)
                 seen[cell] = True
 
-            for q_idx in np.flatnonzero(active):
-                rows = np.flatnonzero(seen[:, q_idx])
-                if rows.size == 0:
+            for local, q_idx in enumerate(act):
+                hit = np.flatnonzero(seen[:, local])
+                if hit.size == 0:
                     continue
                 t = topk[q_idx]
-                t.push(rows + base, acc[rows, q_idx])
-                thr[q_idx] = t.threshold()
+                t.push(hit + base, acc[hit, local])
+                new_thr = t.threshold()
+                if new_thr != -np.inf:
+                    any_full = True
+                thr[q_idx] = new_thr
 
         carry: Optional[pd.DataFrame] = None
         for batch in batches:
@@ -243,6 +303,33 @@ def _query_terms(spark, index: LoadedIndex, queries_df):
     return stats.join(F.broadcast(q_terms), "term").select("query_id", "term", "df")
 
 
+def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
+              acc_s, acc_p):
+    """One scoring pass over the postings for a bounded chunk of queries."""
+    from pyspark.sql import functions as F
+
+    m = index.manifest
+    scorer = get_scorer(scorer_name)
+    qids = sorted({r["query_id"] for r in qt_rows})
+    q_index = {q: i for i, q in enumerate(qids)}
+    qmap: Dict[str, List[Tuple[int, float]]] = {}
+    for r in qt_rows:
+        w = scorer.weight(int(r["df"]), m.n_docs)
+        qmap.setdefault(r["term"], []).append((q_index[r["query_id"]], w))
+    plan = _QueryPlan(qmap)
+
+    postings = index.postings(spark).filter(F.col("term").isin(plan.terms))
+    part_scorer = _make_partition_scorer(
+        plan, np.array(qids, dtype=np.int64), m.avgdl, m.params, scorer_name,
+        m.block_range, k, prune, acc_s, acc_p,
+    )
+    return (
+        postings.repartition(num_partitions, "block_id")
+        .sortWithinPartitions("block_id", "term")
+        .mapInPandas(part_scorer, "query_id long, doc_id long, score double")
+    )
+
+
 def batch_query(
     spark,
     index: LoadedIndex,
@@ -251,45 +338,41 @@ def batch_query(
     prune: bool = True,
     num_partitions: Optional[int] = None,
     collect_metrics: bool = False,
+    scorer: str = "bm25",
+    max_queries_per_pass: int = DEFAULT_MAX_QUERIES_PER_PASS,
 ):
-    """Top-k BM25 for a DataFrame of (query_id, query_text).
+    """Top-k for a DataFrame of (query_id, query_text) under the chosen
+    scorer ("bm25" or "tfidf_ip").
 
     Returns (query_id, rank, doc_id, score) — rank 1-based, score desc,
     ties by ascending doc_id. Queries with no indexed terms return no rows.
+    Query batches larger than ``max_queries_per_pass`` are chunked into
+    independent passes (unioned before the final top-k window), bounding
+    executor memory regardless of batch size.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    m = index.manifest
+    get_scorer(scorer)  # validate early
     # driver-side collect of the query-term table: bounded by the query
-    # batch (|queries| × |terms per query|), never by corpus size
+    # batch (|queries| x |terms per query|), never by corpus size
     qt_rows = _query_terms(spark, index, queries_df).collect()
     if not qt_rows:
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
-
-    qids = sorted({r["query_id"] for r in qt_rows})
-    q_index = {q: i for i, q in enumerate(qids)}
-    qmap: Dict[str, List[Tuple[int, float]]] = {}
-    for r in qt_rows:
-        w = float(idf_fn(np.array([r["df"]]), m.n_docs)[0])
-        qmap.setdefault(r["term"], []).append((q_index[r["query_id"]], w))
-    terms = sorted(qmap.keys())
-
-    postings = index.postings(spark).filter(F.col("term").isin(terms))
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
     acc_s = spark.sparkContext.accumulator(0) if collect_metrics else None
     acc_p = spark.sparkContext.accumulator(0) if collect_metrics else None
-    scorer = _make_partition_scorer(
-        qmap, np.array(qids, dtype=np.int64), m.n_docs, m.avgdl, m.params,
-        m.block_range, k, prune, acc_s, acc_p,
-    )
-    cand = (
-        postings.repartition(num_partitions, "block_id")
-        .sortWithinPartitions("block_id", "term")
-        .mapInPandas(scorer, "query_id long, doc_id long, score double")
-    )
+
+    all_qids = sorted({r["query_id"] for r in qt_rows})
+    cand = None
+    for lo in range(0, len(all_qids), max_queries_per_pass):
+        chunk = set(all_qids[lo: lo + max_queries_per_pass])
+        rows = [r for r in qt_rows if r["query_id"] in chunk]
+        part = _run_pass(spark, index, rows, k, prune, num_partitions, scorer,
+                         acc_s, acc_p)
+        cand = part if cand is None else cand.unionByName(part)
 
     w_final = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     result = (
@@ -300,3 +383,13 @@ def batch_query(
     if collect_metrics:
         result._flatnav_accumulators = {"blocks_scored": acc_s, "blocks_pruned": acc_p}
     return result
+
+
+def query_one(spark, index: LoadedIndex, query_text: str, k: int = 10,
+              prune: bool = True, scorer: str = "bm25") -> List[Tuple[int, int, float]]:
+    """Single-query convenience — the ``searchSingle`` analog
+    (bindings.cpp:121-159): returns [(rank, doc_id, score)], collected.
+    The latency harness in bench.py times repeated calls of this."""
+    qdf = spark.createDataFrame([(0, query_text)], "query_id long, query_text string")
+    rows = batch_query(spark, index, qdf, k=k, prune=prune, scorer=scorer).collect()
+    return sorted((int(r.rank), int(r.doc_id), float(r.score)) for r in rows)

@@ -20,22 +20,26 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from flatnav_spark.scorer import BM25Params, idf, tf_norm
+from flatnav_spark.scorer import BM25Params, get_scorer, idf, tf_norm
 from flatnav_spark.tokenizer import get_tokenizer
 
 
 class ReferenceIndex:
-    """In-memory exact inverted index over a small corpus."""
+    """In-memory exact inverted index over a small corpus. ``scorer``
+    selects the same pluggable scorer variants the engine exposes
+    (bm25 / tfidf_ip — the L2/IP pair)."""
 
     def __init__(
         self,
         docs: Sequence[Tuple[int, str]],
         mode: str = "code",
         params: BM25Params = BM25Params(),
+        scorer: str = "bm25",
     ):
         tokenize = get_tokenizer(mode)
         self.params = params
         self.mode = mode
+        self.scorer = get_scorer(scorer)
         self.postings: Dict[str, Dict[int, int]] = {}
         self.dl: Dict[int, int] = {}
         for doc_id, content in docs:
@@ -57,13 +61,13 @@ class ReferenceIndex:
             if not plist:
                 continue
             df = len(plist)
-            w = float(idf(np.array([df]), self.n_docs)[0])
+            w = self.scorer.weight(df, self.n_docs)
             doc_ids = np.fromiter(plist.keys(), dtype=np.int64, count=df)
             order = np.argsort(doc_ids)
             doc_ids = doc_ids[order]
             tfs = np.fromiter(plist.values(), dtype=np.int64, count=df)[order]
             dls = np.array([self.dl[d] for d in doc_ids], dtype=np.int64)
-            contrib = w * tf_norm(tfs, dls, self.avgdl, self.params)
+            contrib = w * self.scorer.tfn(tfs, dls, self.avgdl, self.params)
             for d, c in zip(doc_ids.tolist(), contrib.tolist()):
                 acc[d] = acc.get(d, 0.0) + c
         return acc
@@ -81,9 +85,10 @@ def golden_topk(
     k: int = 10,
     mode: str = "code",
     params: BM25Params = BM25Params(),
+    scorer: str = "bm25",
 ) -> List[Tuple[int, int, int, float]]:
     """Golden table rows (query_id, rank, doc_id, score) for a query set."""
-    ref = ReferenceIndex(docs, mode=mode, params=params)
+    ref = ReferenceIndex(docs, mode=mode, params=params, scorer=scorer)
     out: List[Tuple[int, int, int, float]] = []
     for qid, qtext in queries:
         for rank, doc_id, score in ref.top_k(qtext, k):

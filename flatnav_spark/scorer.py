@@ -67,3 +67,74 @@ def block_max_tfn(tf: np.ndarray, dl: np.ndarray, avgdl: float, params: BM25Para
     Stored idf-free so block encoding needs no global df; the query path
     multiplies by idf(df) to get the block's score upper bound."""
     return float(tf_norm(tf, dl, avgdl, params).max())
+
+
+# ---------------------------------------------------------------------------
+# Pluggable scorer interface — the CRTP distance-interface analog
+# (include/flatnav/distances/DistanceInterface.h:22-59, dispatched L2 vs IP
+# at DistanceInterface.h:14). A scorer supplies three pure float64 pieces:
+#
+#   weight(df, n_docs)                per-query-term weight
+#   tfn(tf, dl, avgdl, params)        per-posting doc-side factor
+#   tfn_upper(max_tf, min_dl, ...)    block upper bound of tfn (WAND)
+#
+# score(q, d) = sum over unique query terms of weight * tfn, accumulated in
+# ascending term order (the determinism contract). Because the persisted
+# index stores raw (tf, dl, df) — not materialized scores — the scorer is
+# selected at QUERY time, both variants over one index.
+
+
+class Bm25Scorer:
+    """Lucene BM25 — the L2-metric analog (primary scorer)."""
+
+    name = "bm25"
+
+    @staticmethod
+    def weight(df: int, n_docs: int) -> float:
+        return float(idf(np.array([df]), n_docs)[0])
+
+    @staticmethod
+    def tfn(tf: np.ndarray, dl: np.ndarray, avgdl: float, params: BM25Params) -> np.ndarray:
+        return tf_norm(tf, dl, avgdl, params)
+
+    @staticmethod
+    def tfn_upper(max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float,
+                  params: BM25Params) -> np.ndarray:
+        # tfn increases in tf and decreases in dl -> (max_tf, min_dl)
+        # dominates every posting in the block for ANY avgdl
+        return tf_norm(max_tf, min_dl, avgdl, params)
+
+
+class TfidfIpScorer:
+    """TF-IDF inner product — the IP-metric analog
+    (IPDistanceDispatcher.h:10-16: plain dot product, no normalization).
+
+    Query vector weight = idf(t) (query tf treated as 1), document vector
+    weight = tf * idf(t), so the per-term contribution is idf^2 * tf:
+    score(q, d) = <q_tfidf, d_tfidf>. Doc-length independent."""
+
+    name = "tfidf_ip"
+
+    @staticmethod
+    def weight(df: int, n_docs: int) -> float:
+        w = float(idf(np.array([df]), n_docs)[0])
+        return w * w
+
+    @staticmethod
+    def tfn(tf: np.ndarray, dl: np.ndarray, avgdl: float, params: BM25Params) -> np.ndarray:
+        return np.asarray(tf, dtype=np.float64)
+
+    @staticmethod
+    def tfn_upper(max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float,
+                  params: BM25Params) -> np.ndarray:
+        return np.asarray(max_tf, dtype=np.float64)
+
+
+SCORERS = {s.name: s for s in (Bm25Scorer, TfidfIpScorer)}
+
+
+def get_scorer(name: str):
+    try:
+        return SCORERS[name]
+    except KeyError:
+        raise ValueError(f"unknown scorer {name!r}; expected one of {sorted(SCORERS)}")

@@ -133,3 +133,59 @@ def test_k_truncation(spark, built):
     out = _engine_topk(spark, index, [(0, "import")], k=3)
     assert len(out) == 3
     assert [r[1] for r in out] == [1, 2, 3]
+
+
+def test_parity_tfidf_scorer(spark, built):
+    """Second scorer through the seam (the IP-metric analog): engine
+    tfidf_ip top-k == oracle tfidf_ip top-k, rank-identical, over the SAME
+    index the BM25 tests use (scorer selected at query time)."""
+    index, corpus = built
+    queries = synth_queries(N_QUERIES)
+    docs = (
+        index.docs(spark)
+        .join(corpus, ["repo", "path", "commit"])
+        .select("doc_id", "content")
+        .collect()
+    )
+    pairs = [(r.doc_id, r.content) for r in docs]
+    golden = sorted(golden_topk(pairs, queries, k=K, mode="code", scorer="tfidf_ip"))
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    for prune in (False, True):
+        rows = batch_query(spark, index, qdf, k=K, prune=prune, scorer="tfidf_ip").collect()
+        engine = sorted((r.query_id, r.rank, r.doc_id, r.score) for r in rows)
+        assert engine == golden, f"tfidf_ip parity failed (prune={prune})"
+
+
+def test_chunked_batch_equals_single_pass(spark, built):
+    """max_queries_per_pass chunking must not change results (memory
+    bounding is a physical knob, not a semantic one)."""
+    index, _ = built
+    queries = synth_queries(30)
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    one = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in batch_query(spark, index, qdf, k=K).collect()
+    )
+    chunked = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in batch_query(spark, index, qdf, k=K, max_queries_per_pass=7).collect()
+    )
+    assert one == chunked
+
+
+def test_query_one_matches_batch(spark, built):
+    """searchSingle analog: the convenience API returns the batch path's
+    exact rows."""
+    from flatnav_spark.query import query_one
+
+    index, _ = built
+    batch = _engine_topk(spark, index, [(0, "import mergeIndex")], k=5)
+    single = query_one(spark, index, "import mergeIndex", k=5)
+    assert single == [(r[1], r[2], r[3]) for r in batch]
+
+
+def test_unknown_scorer_rejected(spark, built):
+    index, _ = built
+    qdf = spark.createDataFrame([(0, "import")], "query_id long, query_text string")
+    with pytest.raises(ValueError, match="unknown scorer"):
+        batch_query(spark, index, qdf, scorer="cosine")
