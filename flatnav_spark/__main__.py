@@ -68,6 +68,22 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_import(args) -> int:
+    from flatnav_spark.build import import_postings
+    from flatnav_spark.scorer import BM25Params
+
+    spark = _spark("flatnav_import")
+    flat = spark.read.parquet(args.postings)
+    docs = spark.read.parquet(args.docs) if args.docs else None
+    index = import_postings(
+        spark, flat, args.out, mode=args.mode,
+        params=BM25Params(k1=args.k1, b=args.b),
+        block_range=args.block_range, n_splits=args.splits, docs_df=docs,
+    )
+    print(json.dumps(index.info()))
+    return 0
+
+
 def cmd_optimize(args) -> int:
     from flatnav_spark.index_io import load_index
     from flatnav_spark.maintenance import optimize_index
@@ -119,6 +135,17 @@ def main(argv=None) -> int:
     q.add_argument("--no-prune", action="store_true")
     q.add_argument("--out")
     q.set_defaults(fn=cmd_query)
+
+    im = sub.add_parser("import", help="adopt a prebuilt (term, doc_id, tf) postings parquet")
+    im.add_argument("--postings", required=True)
+    im.add_argument("--out", required=True)
+    im.add_argument("--docs", help="optional docs metadata parquet")
+    im.add_argument("--mode", default="code", choices=["code", "simple"])
+    im.add_argument("--k1", type=float, default=1.2)
+    im.add_argument("--b", type=float, default=0.75)
+    im.add_argument("--block-range", type=int, default=4096)
+    im.add_argument("--splits", type=int, default=64)
+    im.set_defaults(fn=cmd_import)
 
     o = sub.add_parser("optimize")
     o.add_argument("--index", required=True)

@@ -496,6 +496,81 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     return LoadedIndex(out_path, manifest)
 
 
+def import_postings(
+    spark,
+    flat_df,
+    out_path: str,
+    mode: str = "code",
+    params: BM25Params = BM25Params(),
+    block_range: int = DEFAULT_BLOCK_RANGE,
+    n_splits: int = DEFAULT_N_SPLITS,
+    docs_df=None,
+    out_partitions: Optional[int] = None,
+) -> LoadedIndex:
+    """Bulk-adopt a prebuilt postings table — the ``Index::buildGraphLinks``
+    .mtx graph-import analog (include/flatnav/index/Index.h:187-238): build
+    a complete index from an existing (term, doc_id, tf) DataFrame without
+    any tokenization.
+
+    ``docs_df`` optionally supplies document metadata (doc_id, repo, path,
+    commit, lang, content_sha); absent rows get synthesized placeholders.
+    doc_ids are preserved verbatim (validated unique); dl is derived as the
+    per-doc tf sum. The import is materialized as a stage-1 group named
+    ``import0`` and finalized by the normal stage 2, so an imported index
+    is first-class: extendable, re-optimizable, stage-2 re-runnable."""
+    from pyspark.sql import functions as F
+
+    cfg_hash = _config_hash(mode, params, block_range, n_splits)
+    if os.path.exists(out_path):
+        shutil.rmtree(out_path)
+    os.makedirs(out_path)
+
+    # collapse duplicate (term, doc_id) pairs, then fold each doc's
+    # postings into the stage-1 tfmap shape (sorted entries: deterministic)
+    flat = flat_df.groupBy("term", "doc_id").agg(F.sum("tf").cast("int").alias("tf"))
+    doc_tf = flat.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("term", "tf")))
+        ).alias("tfmap"),
+        F.sum("tf").cast("long").alias("dl"),
+    )
+
+    if docs_df is None:
+        docs = doc_tf.select(
+            "doc_id",
+            F.lit("imported").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.lit("").alias("commit"),
+            F.lit("").alias("lang"),
+            F.lit("").alias("content_sha"),
+        )
+    else:
+        docs = docs_df.select("doc_id", "repo", "path", "commit", "lang", "content_sha")
+
+    combined = (
+        docs.join(doc_tf, "doc_id", "left")
+        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0).cast("long")))
+        .withColumn(
+            "tfmap",
+            F.coalesce(
+                F.col("tfmap"),
+                F.map_from_arrays(
+                    F.array().cast("array<string>"), F.array().cast("array<int>")
+                ),
+            ),
+        )
+        .select("doc_id", "repo", "path", "commit", "lang", "content_sha", "dl", "tfmap")
+    )
+    n = combined.count()
+    n_distinct = combined.select("doc_id").distinct().count()
+    if n != n_distinct:
+        raise ValueError(f"imported doc_ids are not unique: {n} rows, {n_distinct} distinct")
+
+    _write_group(spark, combined, out_path, "import0", cfg_hash)
+    return _stage2(spark, out_path, mode, params, block_range, n_splits,
+                   out_partitions, cfg_hash)
+
+
 def extend_index(spark, index: LoadedIndex, new_corpus_df,
                  out_partitions: Optional[int] = None) -> LoadedIndex:
     """Incremental insert — the ``Index::add`` analog for a live index
