@@ -67,7 +67,8 @@ def _get_corpus(spark, sf_dir: str, spec: str):
         from flatnav_spark.corpus import write_corpus_parquet
 
         n = int(spec.split(":", 1)[1])
-        cache = f"/tmp/flatnav_synth_{n}_s42/corpus.parquet"
+        cache_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+        cache = f"{cache_root}/flatnav_synth_{n}_s42/corpus.parquet"
         done = cache + "/_GEN_DONE"
         if not os.path.exists(done):
             shutil.rmtree(cache, ignore_errors=True)  # drop any stale cache
@@ -102,11 +103,15 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
 
     t0 = time.perf_counter()
     # n_groups=2: two checkpointable units (resume still exercised) without
-    # paying 4× sequential job-scheduling overhead at bench scale
+    # paying 4x sequential job-scheduling overhead at bench scale.
+    # Partitioning knobs are FIXED (not cpu-derived) so runs at different
+    # parallelism execute the identical logical job — the N vs 4N
+    # comparison must vary only the resource count.
     index = build_index(
         corpus, out_dir, mode="code",
-        n_splits=max(cpus * 2, 16), n_groups=2,
-        block_range=1024, out_partitions=max(cpus, 8),
+        n_splits=int(os.environ.get("FLATNAV_BENCH_SPLITS", "64")), n_groups=2,
+        block_range=1024,
+        out_partitions=int(os.environ.get("FLATNAV_BENCH_OUT_PARTS", "32")),
     )
     timings["build"] = time.perf_counter() - t0
 
@@ -117,13 +122,38 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
     warm = spark.createDataFrame(queries[:N_WARMUP_QUERIES], "query_id long, query_text string")
     batch_query(spark, index, warm, k=k, prune=True).count()
 
-    t0 = time.perf_counter()
-    n_results = batch_query(spark, index, qdf, k=k, prune=False).count()
-    timings["query_batch"] = time.perf_counter() - t0
+    def timed_batch(prune: bool, scorer: str = "bm25"):
+        t0 = time.perf_counter()
+        res = batch_query(spark, index, qdf, k=k, prune=prune,
+                          collect_metrics=True, scorer=scorer)
+        n = res.count()
+        dt = time.perf_counter() - t0
+        accs = res._flatnav_accumulators
+        return dt, n, int(accs["blocks_scored"].value), int(accs["blocks_pruned"].value)
 
-    t0 = time.perf_counter()
-    batch_query(spark, index, qdf, k=k, prune=True).count()
-    timings["query_batch_wand"] = time.perf_counter() - t0
+    # FAST mode (scaling harness): only the two phases the efficiency
+    # target is defined over
+    fast = os.environ.get("FLATNAV_BENCH_FAST", "") == "1"
+
+    timings["query_batch"], n_results, ex_scored, ex_pruned = timed_batch(prune=False)
+    timings["query_batch_wand"], _, wd_scored, wd_pruned = timed_batch(prune=True)
+    if not fast:
+        timings["query_batch_tfidf"], _, _, _ = timed_batch(prune=True, scorer="tfidf_ip")
+
+    # single-query latency percentiles — the reference protocol: one search
+    # "thread" at a time, repeated single queries (experiments/Makefile:22,
+    # metrics.py:80-114 p50..p999)
+    import numpy as np
+
+    from flatnav_spark.query import query_one
+
+    n_lat = 0 if fast else int(os.environ.get("FLATNAV_BENCH_LAT_QUERIES", "32"))
+    lat = []
+    for _qid, qtext in queries[:n_lat]:
+        t0 = time.perf_counter()
+        query_one(spark, index, qtext, k=k, prune=True)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.array(lat) * 1000.0 if lat else np.array([0.0])
 
     result = {
         "metric": "bm25 index build + batched top-k query wall clock",
@@ -139,6 +169,23 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
         "n_results": n_results,
         "files_per_sec": round(n_docs / timings["build"], 2),
         "qps": round(n_queries / timings["query_batch"], 2),
+        "qps_wand": round(n_queries / timings["query_batch_wand"], 2),
+        # M4 analog (distance computations): blocks scored vs pruned per run
+        "blocks": {
+            "exact_scored": ex_scored,
+            "exact_pruned": ex_pruned,
+            "wand_scored": wd_scored,
+            "wand_pruned": wd_pruned,
+            "wand_prune_frac": round(wd_pruned / max(wd_scored + wd_pruned, 1), 4),
+        },
+        # M3 analog: single-query latency percentiles (ms, 1 query in flight)
+        "latency_ms": {
+            "n": int(lat_ms.size),
+            "p50": round(float(np.percentile(lat_ms, 50)), 1),
+            "p90": round(float(np.percentile(lat_ms, 90)), 1),
+            "p95": round(float(np.percentile(lat_ms, 95)), 1),
+            "p99": round(float(np.percentile(lat_ms, 99)), 1),
+        },
         "index": index.info(),
     }
     spark.stop()

@@ -62,6 +62,25 @@ from flatnav_spark.index_io import MANIFEST_VERSION, IndexManifest, LoadedIndex
 from flatnav_spark.scorer import BM25Params
 from flatnav_spark.tokenizer import make_tfmap_udf
 
+
+def _phase_timer():
+    """Env-gated phase timing (FLATNAV_BUILD_TIMING=1): prints one line per
+    build phase to stderr — the bottleneck-diagnosis tool behind the
+    BENCH/BASELINE.md scaling analysis."""
+    import sys
+    import time
+
+    if os.environ.get("FLATNAV_BUILD_TIMING") != "1":
+        return lambda label: None
+    state = {"t": time.perf_counter()}
+
+    def mark(label: str) -> None:
+        now = time.perf_counter()
+        print(f"[build-timing] {label}: {now - state['t']:.2f}s", file=sys.stderr)
+        state["t"] = now
+
+    return mark
+
 DEFAULT_BLOCK_RANGE = 4096
 DEFAULT_N_SPLITS = 64
 DEFAULT_N_GROUPS = 8
@@ -152,10 +171,12 @@ def _write_group(spark, combined_df, out_path: str, group, cfg_hash: str) -> Non
     WRITTEN table (cheap narrow re-read: content_sha/keys only)."""
     from pyspark.sql import functions as F
 
+    mark = _phase_timer()
     gdir = os.path.join(out_path, _STAGE1, f"group={group}")
     combined_df.write.mode("overwrite").option("compression", "zstd").parquet(
         os.path.join(gdir, "docs")
     )
+    mark(f"group={group}:tokenize-write")
     fp_row = (
         spark.read.parquet(os.path.join(gdir, "docs"))
         .agg(
@@ -166,6 +187,7 @@ def _write_group(spark, combined_df, out_path: str, group, cfg_hash: str) -> Non
         )
         .collect()[0]
     )
+    mark(f"group={group}:fingerprint")
     with open(os.path.join(gdir, "_DONE.json"), "w") as f:
         json.dump(
             {
@@ -225,33 +247,45 @@ def _verify_resume_input(corpus_split, n_groups: int, done: List[Tuple[str, dict
 
 
 def _make_segment_encoder(block_range: int):
-    """mapInPandas kernel over a (term, block_id)-partitioned stream sorted
+    """mapInArrow kernel over a (term, block_id)-partitioned stream sorted
     by (term, block_id, doc_id): emits one varint-coded segment row per
-    (term, block_id) group, fully vectorized — group boundaries by numpy
-    diff, gap/varint coding in one pass over the whole batch, block-max by
-    ``np.maximum.reduceat``. (selectNeighbors analog, Index.h:714-763: the
-    persisted per-block summary that query-time pruning relies on.)
+    (term, block_id) group, fully vectorized — terms are Arrow-dictionary-
+    encoded so NO per-posting Python string objects are ever materialized
+    (the round-2 fix for the encode stage dominating build time); group
+    boundaries by numpy diff over dictionary indices, gap/varint coding in
+    one pass over the whole batch, block summaries by ``np.*.reduceat``.
+    (selectNeighbors analog, Index.h:714-763: the persisted per-block
+    summary that query-time pruning relies on.)
 
-    Groups can span Arrow batch boundaries: the trailing group of each
-    batch is carried into the next."""
+    Groups can span Arrow batch boundaries: the trailing group — exactly
+    one (term, block) pair — is carried into the next batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from flatnav_spark.codec import encode_groups, grouped_gaps
 
-    _COLS = ("term", "block_id", "doc_id", "tf", "dl")
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("block_id", pa.int64()),
+            ("n", pa.int32()),
+            ("docs_bin", pa.binary()),
+            ("tfs_bin", pa.binary()),
+            ("dls_bin", pa.binary()),
+            ("block_max_tf", pa.int64()),
+            ("block_min_dl", pa.int64()),
+            ("sum_tf", pa.int64()),
+            ("payload_len", pa.int64()),
+        ]
+    )
 
-    def encode_frame(cols) -> pd.DataFrame:
-        terms = cols["term"]
-        blocks = cols["block_id"]
-        doc_ids = cols["doc_id"]
-        tfs = cols["tf"]
-        dls = cols["dl"]
-        n = len(terms)
-
-        changed = np.empty(n, dtype=bool)
-        changed[0] = True
-        changed[1:] = (terms[1:] != terms[:-1]) | (blocks[1:] != blocks[:-1])
-        starts = np.flatnonzero(changed)
-        ends = np.append(starts[1:], n)
-
+    def encode_run(seg_terms: list, blocks: np.ndarray, doc_ids: np.ndarray,
+                   tfs: np.ndarray, dls: np.ndarray, starts: np.ndarray,
+                   ends: np.ndarray) -> pa.RecordBatch:
+        # the group layout must tile the arrays exactly: encode_groups runs
+        # to the end of each value array, so a stray tail would silently
+        # corrupt the final segment
+        assert len(doc_ids) == int(ends[-1]) and len(seg_terms) == len(starts)
         bases = blocks[starts] * block_range
         gaps = grouped_gaps(doc_ids, starts, bases)
         docs_bin = encode_groups(gaps, starts)
@@ -264,47 +298,85 @@ def _make_segment_encoder(block_range: int):
         max_tf = np.maximum.reduceat(tfs, starts)
         min_dl = np.minimum.reduceat(dls, starts)
         sum_tf = np.add.reduceat(tfs, starts)
-
-        return pd.DataFrame(
-            {
-                "term": terms[starts],
-                "block_id": blocks[starts],
-                "n": (ends - starts).astype(np.int32),
-                "docs_bin": docs_bin,
-                "tfs_bin": tfs_bin,
-                "dls_bin": dls_bin,
-                "block_max_tf": max_tf,
-                "block_min_dl": min_dl,
-                "sum_tf": sum_tf,
-            }
+        payload_len = np.array(
+            [len(a) + len(b) + len(c) for a, b, c in zip(docs_bin, tfs_bin, dls_bin)],
+            dtype=np.int64,
+        )
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(seg_terms, type=pa.string()),
+                pa.array(blocks[starts]),
+                pa.array((ends - starts).astype(np.int32)),
+                pa.array(docs_bin, type=pa.binary()),
+                pa.array(tfs_bin, type=pa.binary()),
+                pa.array(dls_bin, type=pa.binary()),
+                pa.array(max_tf),
+                pa.array(min_dl),
+                pa.array(sum_tf),
+                pa.array(payload_len),
+            ],
+            schema=out_schema,
         )
 
     def encode_partition(batches):
-        carry = None  # dict of numpy arrays: the trailing (possibly
-        # incomplete) group of the previous batch
-        for pdf in batches:
-            if pdf.empty:
+        # carry: the trailing group of the previous batch — one (term,
+        # block) pair: (term_str, block_id, doc_ids, tfs, dls)
+        carry = None
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            cols = {
-                "term": pdf["term"].to_numpy(),
-                "block_id": pdf["block_id"].to_numpy(np.int64),
-                "doc_id": pdf["doc_id"].to_numpy(np.int64),
-                "tf": pdf["tf"].to_numpy(np.int64),
-                "dl": pdf["dl"].to_numpy(np.int64),
-            }
+            tdict = pc.dictionary_encode(rb.column(0))
+            tids = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = tdict.dictionary  # pa.StringArray, one entry per distinct term
+            blocks = rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_ids = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            tfs = rb.column(3).to_numpy(zero_copy_only=False).astype(np.int64)
+            dls = rb.column(4).to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(tids)
+
+            changed = np.empty(n, dtype=bool)
+            changed[0] = True
+            changed[1:] = (tids[1:] != tids[:-1]) | (blocks[1:] != blocks[:-1])
             if carry is not None:
-                cols = {c: np.concatenate([carry[c], cols[c]]) for c in _COLS}
-            terms, blocks = cols["term"], cols["block_id"]
-            n = len(terms)
-            tail_mask = (terms == terms[-1]) & (blocks == blocks[-1])
-            if tail_mask.all():
-                carry = cols  # whole batch is one group: keep carrying
-                continue
-            split = n - int(tail_mask[::-1].argmin())
-            carry = {c: cols[c][split:] for c in _COLS}
-            yield encode_frame({c: cols[c][:split] for c in _COLS})
-        if carry is not None and len(carry["term"]):
-            yield encode_frame(carry)
+                # batch starts mid-group iff it continues carry's pair
+                if vocab[tids[0]].as_py() == carry[0] and blocks[0] == carry[1]:
+                    changed[0] = False
+                    doc_ids = np.concatenate([carry[2], doc_ids])
+                    tfs = np.concatenate([carry[3], tfs])
+                    dls = np.concatenate([carry[4], dls])
+                    pad = len(carry[2])
+                    tids = np.concatenate([np.full(pad, tids[0]), tids])
+                    blocks = np.concatenate([np.full(pad, blocks[0]), blocks])
+                    changed = np.concatenate([[True], np.zeros(pad - 1, bool), changed])
+                    n += pad
+                else:
+                    yield encode_run([carry[0]], np.array([carry[1]]), carry[2],
+                                     carry[3], carry[4], np.array([0]),
+                                     np.array([len(carry[2])]))
+                carry = None
+
+            starts = np.flatnonzero(changed)
+            last_start = int(starts[-1])
+            carry = (
+                vocab[tids[last_start]].as_py(),
+                int(blocks[last_start]),
+                doc_ids[last_start:],
+                tfs[last_start:],
+                dls[last_start:],
+            )
+            if starts.size == 1:
+                continue  # entire batch is (part of) one group: keep carrying
+            starts = starts[:-1]
+            ends = np.append(starts[1:], last_start)
+            seg_terms = pc.take(vocab, pa.array(tids[starts])).to_pylist()
+            # slice OFF the carried tail: every yielded array must end at
+            # the last complete group boundary
+            yield encode_run(seg_terms, blocks[:last_start], doc_ids[:last_start],
+                             tfs[:last_start], dls[:last_start], starts, ends)
+        if carry is not None:
+            yield encode_run([carry[0]], np.array([carry[1]]), carry[2],
+                             carry[3], carry[4], np.array([0]),
+                             np.array([len(carry[2])]))
 
     return encode_partition
 
@@ -358,6 +430,7 @@ def build_index(
         _verify_resume_input(corpus_split, n_groups, done)
     done_ids = {int(g) for g, _ in done if not str(g).startswith("ext")}
     pending = [g for g in range(n_groups) if g not in done_ids]
+    mark = _phase_timer()
     if pending:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -370,6 +443,7 @@ def build_index(
             ]
             for f in futures:
                 f.result()
+    mark(f"stage1:{len(pending)}-groups")
 
     return _stage2(spark, out_path, mode, params, block_range, n_splits, out_partitions, cfg_hash)
 
@@ -383,6 +457,7 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    mark = _phase_timer()
     group_paths = _group_docs_paths(out_path)
     if not group_paths:
         raise ValueError(f"no complete stage-1 groups under {out_path}")
@@ -398,6 +473,7 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     ).collect()[0]
     n_docs = int(stats_row["n_docs"])
     total_dl = int(stats_row["total_dl"] or 0)
+    mark("stage2:corpus-stats")
 
     if out_partitions is None:
         out_partitions = max(spark.sparkContext.defaultParallelism, 8)
@@ -414,6 +490,7 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
             T.StructField("block_max_tf", T.LongType(), False),
             T.StructField("block_min_dl", T.LongType(), False),
             T.StructField("sum_tf", T.LongType(), False),
+            T.StructField("payload_len", T.LongType(), False),
         ]
     )
     encode = _make_segment_encoder(block_range)
@@ -424,10 +501,12 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
         # co-location requirement and the query-time row-group pruning
         .repartitionByRange(out_partitions, "term", "block_id")
         .sortWithinPartitions("term", "block_id", "doc_id")
-        .mapInPandas(encode, schema=seg_schema)
+        .select("term", "block_id", "doc_id", "tf", "dl")
+        .mapInArrow(encode, schema=seg_schema)
     )
     postings.write.mode("overwrite").parquet(os.path.join(out_path, "postings"))
     seg_df = spark.read.parquet(os.path.join(out_path, "postings"))
+    mark("stage2:merge-encode-write")
 
     # ---- stage 2b: per-term stats DERIVED from the segments ----
     # df = sum of per-segment posting counts, cf = sum of per-segment tf
@@ -444,6 +523,7 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
         .parquet(os.path.join(out_path, "stats"))
     )
     term_stats = spark.read.parquet(os.path.join(out_path, "stats"))
+    mark("stage2:stats")
 
     # ---- docs table, doc_id-ordered layout ----
     (
@@ -452,12 +532,15 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
         .write.mode("overwrite")
         .parquet(os.path.join(out_path, "docs"))
     )
+    mark("stage2:docs-rewrite")
 
     # ---- manifest + metrics ----
+    # payload_len was computed at encode time, so this scan prunes the
+    # binary columns entirely (ints only)
     seg_row = seg_df.agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("n").alias("n_postings"),
-        F.sum(F.length("docs_bin") + F.length("tfs_bin") + F.length("dls_bin")).alias("payload_bytes"),
+        F.sum("payload_len").alias("payload_bytes"),
     ).collect()[0]
     skew_row = term_stats.agg(
         F.count(F.lit(1)).alias("n_terms"),
@@ -493,6 +576,7 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
         lineage=lineage,
     )
     manifest.save(out_path)
+    mark("stage2:metrics-manifest")
     return LoadedIndex(out_path, manifest)
 
 
