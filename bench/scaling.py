@@ -71,14 +71,24 @@ def main():
 
     rows = []
     effs = {}
-    for phase in ("build", "query_batch"):
+    phases = ["build", "query_batch", "query_batch_wand"]
+    if "tokenize_compute" in r_small["queries"]:
+        phases.append("tokenize_compute")
+    for phase in phases:
         t_n = r_small["queries"][phase]
         t_4n = r_large["queries"][phase]
         eff = (t_n / t_4n) / (n_large / n_small)
         effs[phase] = eff
-        thr_unit = "files/sec" if phase == "build" else "QPS"
-        thr_n = r_small["files_per_sec"] if phase == "build" else r_small["qps"]
-        thr_4n = r_large["files_per_sec"] if phase == "build" else r_large["qps"]
+        if phase == "build":
+            thr_unit, thr_n, thr_4n = "files/sec", r_small["files_per_sec"], r_large["files_per_sec"]
+        elif phase == "tokenize_compute":
+            thr_unit = "files/sec"
+            thr_n = round(r_small["n_docs"] / t_n, 1)
+            thr_4n = round(r_large["n_docs"] / t_4n, 1)
+        else:
+            thr_unit = "QPS"
+            thr_n = round(r_small["n_queries"] / t_n, 1)
+            thr_4n = round(r_large["n_queries"] / t_4n, 1)
         rows.append((phase, t_n, t_4n, thr_n, thr_4n, thr_unit, eff))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

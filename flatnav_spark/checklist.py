@@ -378,7 +378,7 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
     # MinHash signatures + LSH band bucket (training-pipeline op,
     # engine fn) ✦
     minhash_cols_duck = ",\n".join(
-        f"min(md5(concat('s{i}:', term))) AS mh{i}" for i in range(4)
+        f"min(md5(concat('s{i}:', term))) AS mh{i}" for i in range(8)
     )
 
     def _minhash(spark, sf_dir):
@@ -399,7 +399,7 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
     # LSH candidate pairs from banded MinHash (engine fn) ✦
     duck_bands = "\nUNION ALL\n".join(
         f"""SELECT doc_id, concat('b{i}:', substring(mh{i}, 1, 4)) AS band FROM sigs"""
-        for i in range(4)
+        for i in range(8)
     )
 
     def _lsh_pairs(spark, sf_dir):
@@ -421,11 +421,15 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
 
     # SimHash fingerprints (training-pipeline op, engine fn) ✦
     hex_high = "'8','9','a','b','c','d','e','f'"
+    from flatnav_spark.textops import SIMHASH_BITS
+
     duck_bit_sums = ",\n".join(
         f"sum(CASE WHEN substring(h, {i + 1}, 1) IN ({hex_high}) THEN 1 ELSE -1 END) AS s{i}"
-        for i in range(16)
+        for i in range(SIMHASH_BITS)
     )
-    duck_fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    duck_fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
 
     def _simhash(spark, sf_dir):
         from flatnav_spark.textops import simhash16

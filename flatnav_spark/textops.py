@@ -3,7 +3,7 @@
 - exact dedup (content-hash groupBy)
 - MinHash signatures + LSH band buckets + candidate pairs
 - token-set Jaccard near-dup scoring
-- SimHash fingerprints (16-bit, md5-nibble hyperplanes)
+- SimHash fingerprints (32-bit, md5-nibble hyperplanes)
 - language identification (stopword-profile heuristic)
 - quality scoring (length / stopword ratios)
 
@@ -58,7 +58,7 @@ def _distinct_terms(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 4,
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc MinHash signature: for seed i, min over distinct tokens of
     md5('s{i}:' || token). Hex-string min is a valid permutation-min (md5
@@ -75,7 +75,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 4,
     return sigs.withColumn("band0", F.substring(F.col("mh0"), 1, 8))
 
 
-def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 4, n_band_chars: int = 4,
+def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 8, n_band_chars: int = 4,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup candidates by banded MinHash: docs sharing any band prefix.
     Each of the n_hashes signatures contributes one band (its first
@@ -124,8 +124,13 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
 _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
-def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash over distinct tokens: bit i of the fingerprint is the
+SIMHASH_BITS = 32  # md5 yields 32 hex nibbles -> up to 32 majority bits
+
+
+def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """n_bits-wide SimHash over distinct tokens (default 32, the full md5
+    nibble budget): bit i of the fingerprint is the
     majority sign of md5-nibble i across the doc's tokens (nibble >= 8 ->
     +1 else -1). Pure SQL expressions, so the same formula runs on DuckDB
     for the oracle. Returns (doc_id, simhash long)."""
@@ -136,11 +141,11 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.sum(
             F.when(F.substring("h", i + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
         ).alias(f"s{i}")
-        for i in range(16)
+        for i in range(n_bits)
     ]
     agg = terms.groupBy("doc_id").agg(*bit_sums)
     fingerprint = None
-    for i in range(16):
+    for i in range(n_bits):
         bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
     return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))

@@ -50,7 +50,7 @@ def test_lsh_candidates_cover_near_dups(spark, docs):
 def test_simhash_duplicates_equal_and_distinct_differ(spark, docs):
     fp = {r.doc_id: r.simhash for r in textops.simhash16(docs).collect()}
     assert fp[0] == fp[1]
-    assert 0 <= fp[0] < (1 << 16)
+    assert 0 <= fp[0] < (1 << textops.SIMHASH_BITS)
     # hamming distance of near-dup < distance of unrelated doc
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(fp[0], fp[2]) <= ham(fp[0], fp[5])
