@@ -109,7 +109,12 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
     from flatnav_spark.query import batch_query
     from flatnav_spark.session import get_spark
 
-    spark = get_spark("flatnav_bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark = get_spark(
+        "flatnav_bench", cores=cpus, shuffle_partitions=max(cpus, 8),
+        # split big input files finer so no-shuffle stages (corpus scan ->
+        # tokenize) get enough partitions to use every slot at 4N
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
+    )
     timings: dict[str, float] = {}
 
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
