@@ -224,7 +224,7 @@ def _verify_resume_input(corpus_split, n_groups: int, done: List[Tuple[str, dict
     content in a VCS corpus — a content edit changes the commit."""
     from pyspark.sql import functions as F
 
-    done_numeric = {int(g): meta for g, meta in done if not str(g).startswith("ext")}
+    done_numeric = {int(g): meta for g, meta in done if str(g).isdigit()}
     if not done_numeric:
         return
     rows = (
@@ -428,7 +428,15 @@ def build_index(
             )
     if resume and done:
         _verify_resume_input(corpus_split, n_groups, done)
-    done_ids = {int(g) for g, _ in done if not str(g).startswith("ext")}
+    for g, _meta in done:
+        name = str(g)
+        if not name.isdigit() and not name.startswith("ext"):
+            raise ValueError(
+                f"stage1 group {name!r} is not a build/extend checkpoint "
+                "(e.g. an import_postings group); build_index cannot resume over it — "
+                "use extend_index to grow an imported index"
+            )
+    done_ids = {int(g) for g, _ in done if str(g).isdigit()}
     pending = [g for g in range(n_groups) if g not in done_ids]
     mark = _phase_timer()
     if pending:
@@ -619,6 +627,18 @@ def import_postings(
         F.sum("tf").cast("long").alias("dl"),
     )
 
+    # doc_ids are preserved verbatim, so they must satisfy the engine's id
+    # arithmetic: non-negative (gap codec / block_id) and below 2^53 (the
+    # extend-path ordinal division is exact only in that range)
+    bad = doc_tf.filter(
+        (F.col("doc_id") < 0) | (F.col("doc_id") >= F.lit(1 << 53))
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"imported doc_id {int(bad[0]['doc_id'])} out of range: "
+            "doc_ids must be in [0, 2^53)"
+        )
+
     if docs_df is None:
         docs = doc_tf.select(
             "doc_id",
@@ -630,6 +650,16 @@ def import_postings(
         )
     else:
         docs = docs_df.select("doc_id", "repo", "path", "commit", "lang", "content_sha")
+        # the LEFT join below keeps only docs-side rows: a posting whose
+        # doc_id is missing from docs_df would silently vanish (understating
+        # n_postings/df/cf). Validate coverage and fail loudly instead.
+        orphan = doc_tf.join(docs, "doc_id", "left_anti").limit(1).collect()
+        if orphan:
+            raise ValueError(
+                f"postings reference doc_id {int(orphan[0]['doc_id'])} that is "
+                "missing from docs_df; supply metadata for every posting doc_id "
+                "(or pass docs_df=None to synthesize placeholders)"
+            )
 
     combined = (
         docs.join(doc_tf, "doc_id", "left")
@@ -714,7 +744,10 @@ def extend_index(spark, index: LoadedIndex, new_corpus_df,
     offsets = (
         s1_docs.select(
             F.pmod(F.col("doc_id"), F.lit(S)).alias("split"),
-            (F.col("doc_id") / F.lit(S)).cast("long").alias("ordinal"),
+            # integer floor division: float `/` loses exactness above 2^53
+            # and truncates (not floors) negatives — imported ids are
+            # validated to [0, 2^53) but keep the arithmetic exact anyway
+            F.floor(F.col("doc_id") / F.lit(S)).cast("long").alias("ordinal"),
         )
         .groupBy("split")
         .agg((F.max("ordinal") + 1).alias("offset"))

@@ -66,9 +66,12 @@ def _tfidf_sql(dialect: str) -> str:
         if dialect == "spark"
         else f"SELECT * FROM (VALUES {vals}) AS t(query_id, term)"
     )
+    # n_docs counts ALL documents (matching the engine manifest's corpus-
+    # level n_docs), not just tokenized ones — a zero-token doc must still
+    # raise every idf (ADVICE r2)
     return f"""
 WITH toks AS ({explode}),
-stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+stats AS (SELECT count(*) AS n_docs FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 q AS ({qcte}),
@@ -109,9 +112,12 @@ def _bm25_sql(dialect: str, with_doc_id: bool) -> str:
         else f"SELECT * FROM (VALUES {vals}) AS t(query_id, term)"
     )
     cols = "rank, doc_id, score" if with_doc_id else "rank, score"
+    size_fn = "size" if dialect == "spark" else "len"
+    # dl/stats over ALL documents (zero-token docs keep dl=0 and still count
+    # toward n_docs/avgdl — the engine manifest's corpus-level semantics)
     return f"""
 WITH toks AS ({explode}),
-dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl AS (SELECT doc_id, {size_fn}({tok}) AS dl FROM documents),
 stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -432,10 +438,10 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
     )
 
     def _simhash(spark, sf_dir):
-        from flatnav_spark.textops import simhash16
+        from flatnav_spark.textops import simhash
 
         _ensure_views(spark, sf_dir, ("documents",))
-        return simhash16(spark.table("documents"))
+        return simhash(spark.table("documents"))
 
     r["simhash_fingerprint"] = (
         _simhash,

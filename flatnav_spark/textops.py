@@ -127,13 +127,17 @@ _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 SIMHASH_BITS = 32  # md5 yields 32 hex nibbles -> up to 32 majority bits
 
 
-def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              n_bits: int = SIMHASH_BITS) -> DataFrame:
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n_bits: int = SIMHASH_BITS) -> DataFrame:
     """n_bits-wide SimHash over distinct tokens (default 32, the full md5
     nibble budget): bit i of the fingerprint is the
     majority sign of md5-nibble i across the doc's tokens (nibble >= 8 ->
     +1 else -1). Pure SQL expressions, so the same formula runs on DuckDB
-    for the oracle. Returns (doc_id, simhash long)."""
+    for the oracle. Returns (doc_id, simhash long).
+
+    Versioning: fingerprints of different widths are NOT comparable —
+    persist ``n_bits`` alongside any stored fingerprint column (the bench/
+    checklist oracles regenerate theirs from SIMHASH_BITS each run)."""
     terms = _distinct_terms(docs, text_col, id_col).withColumn(
         "h", F.md5(F.col("term"))
     )
@@ -149,6 +153,13 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
     return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              n_bits: int = 16) -> DataFrame:
+    """16-bit-default alias kept for callers of the original narrow
+    fingerprint; new code should call ``simhash`` (width = SIMHASH_BITS)."""
+    return simhash(docs, text_col=text_col, id_col=id_col, n_bits=n_bits)
 
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

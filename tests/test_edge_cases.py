@@ -109,3 +109,13 @@ def test_empty_query_set(spark, tmp_path):
     corpus, idx = _build(spark, tmp_path, [_row(0, "something")])
     qdf = spark.createDataFrame([], "query_id long, query_text string")
     assert batch_query(spark, idx, qdf, k=5).count() == 0
+
+
+def test_empty_doc_counts_toward_stats(spark, tmp_path):
+    """A zero-token document still counts in n_docs and avgdl (manifest
+    corpus-level semantics shared with the reference oracle, ADVICE r2)."""
+    rows = [_row(0, "alpha beta gamma"), _row(1, ""), _row(2, "alpha delta")]
+    corpus, idx = _build(spark, tmp_path, rows)
+    assert idx.manifest.n_docs == 3
+    assert idx.manifest.total_dl == 5  # 3 + 0 + 2
+    _parity(spark, corpus, idx, [(0, "alpha"), (1, "delta beta")])

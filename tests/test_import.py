@@ -68,3 +68,40 @@ def test_import_synthesized_docs(spark, tmp_path):
     assert idx.manifest.n_postings == 3
     out = _topk(spark, idx, [(0, "alpha")], k=5)
     assert [r[2] for r in out] == [0, 5]
+
+
+def test_import_orphan_postings_rejected(spark, tmp_path):
+    """A posting whose doc_id is absent from docs_df must fail loudly, not
+    silently vanish through the docs-side LEFT join (ADVICE r2)."""
+    flat = spark.createDataFrame(
+        [("a", 1, 2), ("b", 7, 1)], "term string, doc_id long, tf int"
+    )
+    docs = spark.createDataFrame(
+        [(1, "r", "p", "c", "l", "s")],
+        "doc_id long, repo string, path string, commit string, lang string, content_sha string",
+    )
+    with pytest.raises(ValueError, match="missing from docs_df"):
+        import_postings(spark, flat, str(tmp_path / "orphan"), docs_df=docs)
+
+
+def test_import_out_of_range_doc_ids_rejected(spark, tmp_path):
+    for bad in (-3, 1 << 53):
+        flat = spark.createDataFrame(
+            [("a", bad, 1)], "term string, doc_id long, tf int"
+        )
+        with pytest.raises(ValueError, match="out of range"):
+            import_postings(spark, flat, str(tmp_path / f"bad{bad}"))
+
+
+def test_resume_over_imported_index_refused(spark, tmp_path):
+    """build_index(resume=True) over an import_postings checkpoint must
+    raise a descriptive error, not crash on int('import0') (ADVICE r2)."""
+    flat = spark.createDataFrame(
+        [("alpha", 0, 3), ("beta", 5, 2)], "term string, doc_id long, tf int"
+    )
+    out = str(tmp_path / "imp_resume")
+    import_postings(spark, flat, out, block_range=64, out_partitions=2)
+    corpus = corpus_df(spark, 10)
+    with pytest.raises(ValueError, match="import"):
+        build_index(corpus, out, mode="code", block_range=64, resume=True,
+                    out_partitions=2)

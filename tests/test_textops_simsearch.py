@@ -48,9 +48,12 @@ def test_lsh_candidates_cover_near_dups(spark, docs):
 
 
 def test_simhash_duplicates_equal_and_distinct_differ(spark, docs):
-    fp = {r.doc_id: r.simhash for r in textops.simhash16(docs).collect()}
+    fp = {r.doc_id: r.simhash for r in textops.simhash(docs).collect()}
     assert fp[0] == fp[1]
     assert 0 <= fp[0] < (1 << textops.SIMHASH_BITS)
+    # the 16-bit-default alias stays narrow (version signal for old callers)
+    fp16 = {r.doc_id: r.simhash for r in textops.simhash16(docs).collect()}
+    assert all(0 <= v < (1 << 16) for v in fp16.values())
     # hamming distance of near-dup < distance of unrelated doc
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(fp[0], fp[2]) <= ham(fp[0], fp[5])
