@@ -51,23 +51,37 @@ def _phase_cpu(fn):
     )
 
 
+QUERY_TERM_CAP = 4096  # driver-side bound per stratum (scale-safe sampling)
+
+
 def make_query_set(spark, index, n_queries: int, seed: int = 42):
     """Deterministic query set drawn from the built index's own vocabulary:
     60% mid-frequency terms, 25% with a hot term, 15% with a rare/absent
-    term (FIXTURES.md §2)."""
-    import numpy as np
+    term (FIXTURES.md §2).
 
-    stats = (
-        index.term_stats(spark)
-        .orderBy("df", "term")
-        .select("term", "df")
-        .collect()
-    )
-    terms = [r.term for r in stats]
-    n = len(terms)
-    hot = terms[-max(n // 100, 1):]
-    mid = terms[n // 3: 2 * n // 3] or terms
-    rare = terms[: max(n // 10, 1)]
+    Scale-safe (round-2 fix): each stratum is fetched with a distributed
+    TakeOrdered/offset+limit capped at QUERY_TERM_CAP rows — the driver
+    never collects the full term-stats table, so a 10^7-term vocabulary
+    costs the same driver memory as a 2k one. The (df, term) total order
+    makes the strata deterministic at any parallelism; below the cap the
+    strata are byte-identical to the old full-collect slices."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    stats = index.term_stats(spark).select("term", "df")
+    n = index.manifest.n_terms
+    hot_n = min(max(n // 100, 1), QUERY_TERM_CAP)
+    rare_n = min(max(n // 10, 1), QUERY_TERM_CAP)
+    mid_lo, mid_hi = n // 3, 2 * n // 3
+    mid_n = min(max(mid_hi - mid_lo, 1), QUERY_TERM_CAP)
+    # hot = LAST hot_n rows of the ascending (df, term) order — fetched as
+    # the top of the reversed order, then flipped back to ascending so rng
+    # indexing reproduces the historical query sets exactly
+    hot = [r.term for r in reversed(
+        stats.orderBy(F.desc("df"), F.desc("term")).limit(hot_n).collect())]
+    rare = [r.term for r in stats.orderBy("df", "term").limit(rare_n).collect()]
+    mid = [r.term for r in
+           stats.orderBy("df", "term").offset(mid_lo).limit(mid_n).collect()] or hot
     rng = np.random.default_rng(seed)
     rows = []
     for qid in range(n_queries):
@@ -80,6 +94,43 @@ def make_query_set(spark, index, n_queries: int, seed: int = 42):
             chosen[0] = rare[int(rng.integers(0, len(rare)))] if rng.random() < 0.5 else f"zzqqabsent{qid}"
         rows.append((qid, " ".join(chosen)))
     return rows
+
+
+def _prev_bench_headline(repo_dir: str):
+    """Latest committed BENCH_r*.json headline numbers, for the vs_prev
+    delta block (a regression must name itself, VERDICT r2 #9)."""
+    import glob
+    import re
+
+    cands = sorted(
+        f for f in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if re.match(r"BENCH_r\d+\.json$", os.path.basename(f))
+    )
+    if not cands:
+        return None, None
+    try:
+        with open(cands[-1]) as f:
+            return json.load(f), os.path.basename(cands[-1])
+    except (OSError, json.JSONDecodeError):
+        return None, None
+
+
+def _vs_prev(result: dict, repo_dir: str) -> dict:
+    prev, fname = _prev_bench_headline(repo_dir)
+    if not prev:
+        return {"prev": None}
+    comparable = (
+        prev.get("corpus") == result["corpus"]
+        and prev.get("cpus") == result["cpus"]
+        and prev.get("n_queries") == result["n_queries"]
+    )
+    out = {"prev": fname, "comparable": comparable}
+    for key in ("files_per_sec", "qps", "qps_wand"):
+        p = prev.get(key)
+        c = result.get(key)
+        if isinstance(p, (int, float)) and isinstance(c, (int, float)) and p:
+            out[key] = {"prev": p, "now": c, "delta_pct": round((c - p) / p * 100, 1)}
+    return out
 
 
 def _get_corpus(spark, sf_dir: str, spec: str):
@@ -217,11 +268,31 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
         lat.append(time.perf_counter() - t0)
     lat_ms = np.array(lat) * 1000.0 if lat else np.array([0.0])
 
+    # every published number goes through the typed metric registry (M6,
+    # the experiments/plotting/metrics.py analog): unknown names fail here
+    from flatnav_spark.metrics import MetricReport
+
+    rep = MetricReport()
+    for phase, secs in timings.items():
+        rep.emit(f"{phase}_sec", secs)
+    rep.emit("files_per_sec", n_docs / timings["build"])
+    rep.emit("qps", n_queries / timings["query_batch"])
+    rep.emit("qps_wand", n_queries / timings["query_batch_wand"])
+    rep.emit("n_docs", n_docs)
+    rep.emit("n_queries", n_queries)
+    rep.emit("n_results", n_results)
+    rep.emit("blocks_scored", wd_scored)
+    rep.emit("blocks_pruned", wd_pruned)
+    rep.emit("wand_prune_frac", wd_pruned / max(wd_scored + wd_pruned, 1))
+    for p in (50, 90, 95, 99):
+        rep.emit(f"latency_p{p}_ms", float(np.percentile(lat_ms, p)))
+    v = rep.as_dict()
+
     result = {
         "metric": "bm25 index build + batched top-k query wall clock",
         "value": round(timings["build"] + timings["query_batch"], 3),
         "unit": "sec",
-        "queries": {k_: round(v, 3) for k_, v in timings.items()},
+        "queries": {k_: round(s, 3) for k_, s in timings.items()},
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "corpus": corpus_spec,
         "cpus": cpus,
@@ -229,30 +300,32 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
         "n_queries": n_queries,
         "k": k,
         "n_results": n_results,
-        "files_per_sec": round(n_docs / timings["build"], 2),
-        "qps": round(n_queries / timings["query_batch"], 2),
-        "qps_wand": round(n_queries / timings["query_batch_wand"], 2),
+        "files_per_sec": v["files_per_sec"],
+        "qps": v["qps"],
+        "qps_wand": v["qps_wand"],
         # M4 analog (distance computations): blocks scored vs pruned per run
         "blocks": {
             "exact_scored": ex_scored,
             "exact_pruned": ex_pruned,
             "wand_scored": wd_scored,
             "wand_pruned": wd_pruned,
-            "wand_prune_frac": round(wd_pruned / max(wd_scored + wd_pruned, 1), 4),
+            "wand_prune_frac": v["wand_prune_frac"],
         },
         # M3 analog: single-query latency percentiles (ms, 1 query in flight)
         "latency_ms": {
             "n": int(lat_ms.size),
-            "p50": round(float(np.percentile(lat_ms, 50)), 1),
-            "p90": round(float(np.percentile(lat_ms, 90)), 1),
-            "p95": round(float(np.percentile(lat_ms, 95)), 1),
-            "p99": round(float(np.percentile(lat_ms, 99)), 1),
+            "p50": v["latency_p50_ms"],
+            "p90": v["latency_p90_ms"],
+            "p95": v["latency_p95_ms"],
+            "p99": v["latency_p99_ms"],
         },
         # effective cores the host delivered per phase: (busy, stolen) —
         # the sandbox shares a noisy host; these make each number auditable
         "cpu_cores": {k_: {"busy": b, "steal": s} for k_, (b, s) in cpu_cores.items()},
+        "metric_units": rep.describe(),
         "index": index.info(),
     }
+    result["vs_prev"] = _vs_prev(result, os.path.dirname(os.path.abspath(__file__)))
     spark.stop()
     if keep_index is None:
         shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
