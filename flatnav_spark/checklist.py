@@ -51,7 +51,7 @@ def _values_clause() -> str:
     return rows
 
 
-def _tfidf_sql(dialect: str) -> str:
+def _tfidf_sql(dialect: str, with_doc_id: bool = False) -> str:
     """TF-IDF inner-product (the IP-metric scorer variant) over
     `documents`, top-10 per query: score = sum(idf^2 * tf)."""
     tok = _TOK_SPARK if dialect == "spark" else _TOK_DUCK
@@ -86,12 +86,13 @@ scored AS (
   GROUP BY q.query_id, tf.doc_id
 ),
 ranked AS (
-  SELECT query_id, round(raw, 4) AS score,
+  SELECT query_id, doc_id, round(raw, 4) AS score,
          CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY round(raw, 4) DESC, doc_id) AS BIGINT) AS rank
   FROM scored
 )
-SELECT CAST(query_id AS BIGINT) AS query_id, rank, score
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       {"rank, CAST(doc_id AS BIGINT) AS doc_id, score" if with_doc_id else "rank, score"}
 FROM ranked WHERE rank <= {_K}
 """
 
@@ -626,28 +627,55 @@ FROM read_parquet('{os.path.join(_GOLDEN_DIR, "multimodal_features_golden.parque
 
 # ---------------------------------------------------------------------------
 # the real-engine parity entry: build a temp index over documents-as-corpus
-# and batch_query it; oracle is the pure-SQL BM25 (scores only, so the
-# engine's internal doc_id remapping is irrelevant to the compare)
+# and batch_query it; oracle is the pure-SQL BM25 with full doc identity —
+# the engine's internal doc_ids are joined back to the source doc_id, so
+# the driver hash covers (query_id, rank, source doc_id, score)
 
 _ENGINE_CACHE: dict = {}
 
 
 def _engine_index_for(spark, sf_dir: str):
+    """Temp engine index over `documents` for the parity entries.
+
+    Tie-break alignment: the engine breaks score ties by INTERNAL doc_id;
+    the SQL oracle by SOURCE doc_id. So the corpus is shaped to make the
+    two orders coincide — constant repo + zero-padded source id in the
+    path + n_splits=1 makes the stage-1 ordinal (ordered by repo, path,
+    commit) enumerate docs in source-id order, i.e. internal == source id.
+    Without this, a score tie straddling the k boundary selects different
+    (equally correct) docs on each side and the hash compare can't see
+    they tie."""
+    from pyspark.sql import functions as F
+
     from flatnav_spark.build import build_index
-    from flatnav_spark.corpus import documents_as_corpus
 
     key = os.path.abspath(sf_dir)
     if key in _ENGINE_CACHE and os.path.exists(_ENGINE_CACHE[key].path):
         return _ENGINE_CACHE[key]
     out = os.path.join(tempfile.mkdtemp(prefix="flatnav_idx_"), "index")
-    corpus = documents_as_corpus(spark, sf_dir)
-    idx = build_index(corpus, out, mode="simple", n_splits=16, n_groups=2,
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = docs.select(
+        F.lit("corpus").alias("repo"),
+        F.format_string("doc/%010d.txt", F.col("doc_id")).alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = build_index(corpus, out, mode="simple", n_splits=1, n_groups=1,
                       block_range=256, out_partitions=4)
     _ENGINE_CACHE[key] = idx
     return idx
 
 
-def engine_bm25_topk(spark, sf_dir: str):
+def _engine_topk(spark, sf_dir: str, scorer: str):
+    """Engine top-k with DOC IDENTITY restored (round-2 VERDICT #5): the
+    engine's internal doc_ids are joined back to the source `documents`
+    doc_id (embedded in the corpus path by documents_as_corpus), then
+    re-ranked by (rounded score desc, source doc_id asc) — the oracle's
+    exact ordering — so the driver hash covers WHICH document was
+    retrieved, not just its score, like the pytest identity gate
+    (tests/test_end_to_end.py)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from flatnav_spark.query import batch_query
@@ -655,12 +683,33 @@ def engine_bm25_topk(spark, sf_dir: str):
     idx = _engine_index_for(spark, sf_dir)
     qrows = [(qid, " ".join(terms)) for qid, terms in _BM25_QUERIES]
     qdf = spark.createDataFrame(qrows, "query_id long, query_text string")
-    res = batch_query(spark, idx, qdf, k=_K, prune=True)
-    return res.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        F.round(F.col("score"), 4).alias("score"),
+    # k + slack: the engine ranks by RAW float64 score, the oracle by the
+    # 4-decimal ROUNDED score — two distinct raw scores that round equal at
+    # the k boundary would select different docs. Over-fetching then
+    # re-ranking by (rounded, id) reproduces the oracle's cut exactly.
+    res = batch_query(spark, idx, qdf, k=_K + 10, prune=True, scorer=scorer)
+    src = idx.docs(spark).select(
+        "doc_id",
+        F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long").alias("src_doc_id"),
     )
+    joined = res.join(src, "doc_id").select("query_id", "src_doc_id", "score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 4)), F.asc("src_doc_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("src_doc_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+def engine_bm25_topk(spark, sf_dir: str):
+    return _engine_topk(spark, sf_dir, "bm25")
 
 
 def engine_tfidf_topk(spark, sf_dir: str):
@@ -668,19 +717,7 @@ def engine_tfidf_topk(spark, sf_dir: str):
     through the REAL engine against a pure-SQL oracle — proof the
     scorer.py seam is a working two-variant interface like flatnav's
     DistanceInterface (DistanceInterface.h:14)."""
-    from pyspark.sql import functions as F
-
-    from flatnav_spark.query import batch_query
-
-    idx = _engine_index_for(spark, sf_dir)
-    qrows = [(qid, " ".join(terms)) for qid, terms in _BM25_QUERIES]
-    qdf = spark.createDataFrame(qrows, "query_id long, query_text string")
-    res = batch_query(spark, idx, qdf, k=_K, prune=True, scorer="tfidf_ip")
-    return res.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        F.round(F.col("score"), 4).alias("score"),
-    )
+    return _engine_topk(spark, sf_dir, "tfidf_ip")
 
 
 def build_queries() -> Dict[str, Callable]:
@@ -699,8 +736,8 @@ def build_oracles() -> Dict[str, str]:
     out: Dict[str, str] = {}
     for name, (_spark, duck_sql, _tables) in _registry().items():
         out[name] = duck_sql
-    out["engine_bm25_topk"] = _bm25_sql("duck", with_doc_id=False)
-    out["engine_tfidf_topk"] = _tfidf_sql("duck")
+    out["engine_bm25_topk"] = _bm25_sql("duck", with_doc_id=True)
+    out["engine_tfidf_topk"] = _tfidf_sql("duck", with_doc_id=True)
     out["multimodal_decode"] = _MULTIMODAL_DECODE_ORACLE
     out["multimodal_features"] = _MULTIMODAL_FEATURES_ORACLE
     from flatnav_spark.simsearch import lsh_duckdb_oracle_sql
