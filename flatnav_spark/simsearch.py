@@ -169,18 +169,21 @@ def lsh_cosine_topk(
     e = e.withColumn("sig", sig_udf(F.col("emb")))
     q = q.withColumn("sig", sig_udf(F.col("qe")))
 
-    e_bands = e.select(
-        "vec_id", "emb", F.posexplode("sig").alias("band_id", "band_val")
-    )
-    q_bands = q.select(
-        "qid", "qe", F.posexplode("sig").alias("band_id", "band_val")
-    )
+    # id-first band join (round-2 VERDICT #6): the band explode + join +
+    # dedup carries ONLY (id, band) pairs — embedding bytes never ride the
+    # n_bands-wide shuffle. Vectors are re-joined once, per deduped
+    # candidate, for exact re-scoring (the oracle SQL's shape).
+    e_bands = e.select("vec_id", F.posexplode("sig").alias("band_id", "band_val"))
+    q_bands = q.select("qid", F.posexplode("sig").alias("band_id", "band_val"))
 
-    cand = (
+    cand_ids = (
         q_bands.join(e_bands, ["band_id", "band_val"])
-        .select("qid", "qe", "vec_id", "emb")
+        .select("qid", "vec_id")
         .dropDuplicates(["qid", "vec_id"])
     )
+    cand = cand_ids.join(
+        F.broadcast(q.select("qid", "qe")), "qid"
+    ).join(e.select("vec_id", "emb"), "vec_id")
     scored = cand.select(
         "qid",
         "vec_id",
