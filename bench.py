@@ -134,21 +134,25 @@ def _vs_prev(result: dict, repo_dir: str) -> dict:
 
 
 def _get_corpus(spark, sf_dir: str, spec: str):
-    """Corpus source: 'documents' (driver tables at sf_dir) or 'synth:<n>'
-    (the deterministic 2k-vocab code corpus, cached as parquet so repeated
-    runs at different parallelism read identical bytes)."""
+    """Corpus source: 'documents' (driver tables at sf_dir), 'synth:<n>'
+    (the deterministic 2k-vocab code corpus) or 'zipf:<n>' (the 120k-term
+    heavy-tailed fixture that exercises WAND/skew machinery). Synthetic
+    corpora are cached as parquet so repeated runs at different parallelism
+    read identical bytes."""
     from flatnav_spark.corpus import documents_as_corpus
 
-    if spec.startswith("synth:"):
-        from flatnav_spark.corpus import write_corpus_parquet
+    if spec.startswith(("synth:", "zipf:")):
+        from flatnav_spark.corpus import write_corpus_parquet, write_zipf_corpus_parquet
 
-        n = int(spec.split(":", 1)[1])
+        kind, n_str = spec.split(":", 1)
+        n = int(n_str)
+        writer = write_corpus_parquet if kind == "synth" else write_zipf_corpus_parquet
         cache_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-        cache = f"{cache_root}/flatnav_synth_{n}_s42/corpus.parquet"
+        cache = f"{cache_root}/flatnav_{kind}_{n}_s42/corpus.parquet"
         done = cache + "/_GEN_DONE"
         if not os.path.exists(done):
             shutil.rmtree(cache, ignore_errors=True)  # drop any stale cache
-            write_corpus_parquet(cache, n)
+            writer(cache, n)
             open(done, "w").close()
         return spark.read.parquet(cache)
     return documents_as_corpus(spark, sf_dir)
@@ -217,7 +221,7 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
         if label:
             cpu_cores[label] = (busy, steal)
         accs = holder["accs"]
-        return dt, holder["n"], int(accs["blocks_scored"].value), int(accs["blocks_pruned"].value)
+        return dt, holder["n"], {k_: int(a.value) for k_, a in accs.items()}
 
     # FAST mode (scaling harness): only the two phases the efficiency
     # target is defined over
@@ -246,12 +250,12 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
         timings["tokenize_compute"], _, busy, steal = _phase_cpu(tok_count)
         cpu_cores["tokenize_compute"] = (busy, steal)
 
-    timings["query_batch"], n_results, ex_scored, ex_pruned = timed_batch(
+    timings["query_batch"], n_results, ex_counts = timed_batch(
         prune=False, label="query_batch")
-    timings["query_batch_wand"], _, wd_scored, wd_pruned = timed_batch(
+    timings["query_batch_wand"], _, wd_counts = timed_batch(
         prune=True, label="query_batch_wand")
     if not fast:
-        timings["query_batch_tfidf"], _, _, _ = timed_batch(prune=True, scorer="tfidf_ip")
+        timings["query_batch_tfidf"], _, _ = timed_batch(prune=True, scorer="tfidf_ip")
 
     # single-query latency percentiles — the reference protocol: one search
     # "thread" at a time, repeated single queries (experiments/Makefile:22,
@@ -281,9 +285,15 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
     rep.emit("n_docs", n_docs)
     rep.emit("n_queries", n_queries)
     rep.emit("n_results", n_results)
-    rep.emit("blocks_scored", wd_scored)
-    rep.emit("blocks_pruned", wd_pruned)
-    rep.emit("wand_prune_frac", wd_pruned / max(wd_scored + wd_pruned, 1))
+    rep.emit("blocks_scored", wd_counts["blocks_scored"])
+    rep.emit("blocks_pruned", wd_counts["blocks_pruned"])
+    rep.emit("segments_scored", wd_counts["segments_scored"])
+    rep.emit("segments_pruned", wd_counts["segments_pruned"])
+    rep.emit(
+        "wand_prune_frac",
+        wd_counts["segments_pruned"]
+        / max(wd_counts["segments_scored"] + wd_counts["segments_pruned"], 1),
+    )
     for p in (50, 90, 95, 99):
         rep.emit(f"latency_p{p}_ms", float(np.percentile(lat_ms, p)))
     v = rep.as_dict()
@@ -303,13 +313,23 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
         "files_per_sec": v["files_per_sec"],
         "qps": v["qps"],
         "qps_wand": v["qps_wand"],
-        # M4 analog (distance computations): blocks scored vs pruned per run
+        # M4 analog (distance computations): blocks AND segments scored vs
+        # pruned per run — segments are the decode unit, so the segment
+        # fraction is the honest measure of work WAND actually skipped
         "blocks": {
-            "exact_scored": ex_scored,
-            "exact_pruned": ex_pruned,
-            "wand_scored": wd_scored,
-            "wand_pruned": wd_pruned,
+            "exact_scored": ex_counts["blocks_scored"],
+            "exact_pruned": ex_counts["blocks_pruned"],
+            "wand_scored": wd_counts["blocks_scored"],
+            "wand_pruned": wd_counts["blocks_pruned"],
+            "exact_segments_scored": ex_counts["segments_scored"],
+            "wand_segments_scored": wd_counts["segments_scored"],
+            "wand_segments_pruned": wd_counts["segments_pruned"],
             "wand_prune_frac": v["wand_prune_frac"],
+            "wand_pairs_scored": wd_counts["pairs_scored"],
+            "wand_pairs_pruned": wd_counts["pairs_pruned"],
+            "wand_pair_prune_frac": round(
+                wd_counts["pairs_pruned"]
+                / max(wd_counts["pairs_scored"] + wd_counts["pairs_pruned"], 1), 4),
         },
         # M3 analog: single-query latency percentiles (ms, 1 query in flight)
         "latency_ms": {

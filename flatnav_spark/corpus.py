@@ -135,6 +135,138 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED,
     return path
 
 
+# ---------------------------------------------------------------------------
+# Realistic-scale fixture (round-2 VERDICT #2): a >=100k-term Zipf vocabulary
+# with heavy-tailed term frequencies AND document lengths, so the engine's
+# scale features (block-max WAND pruning, salted hot-term merge, row-group
+# pruning) are actually exercised. The reference benchmarks on real datasets
+# up to 100M points (experiments/README.md:225-256); this is the synthetic
+# stand-in with comparable statistical shape for a code corpus:
+#   - term ranks ~ Zipf(s=1.07): `import`-class keywords in ~every doc,
+#     a long tail of identifiers with df in the hundreds
+#   - doc lengths ~ lognormal (median ~200 tokens, tail to 4000)
+
+ZIPF_VOCAB = 120_000
+ZIPF_S = 1.07
+
+
+def _zipf_vocabulary(n_terms: int = ZIPF_VOCAB) -> List[str]:
+    """Deterministic n_terms-sized identifier vocabulary, hot-first:
+    keywords, then structured camelCase/snake_case (which the code
+    tokenizer further splits — realistic subtoken sharing), then unique
+    unstructured lowercase identifiers (1:1 with index terms)."""
+    vocab: List[str] = []
+    seen = set()
+
+    def add(t: str) -> None:
+        if t not in seen:
+            seen.add(t)
+            vocab.append(t)
+
+    for lang in LANGS:
+        for kw in KEYWORDS[lang]:
+            add(kw)
+    for suffix in ("", "2", "3"):
+        for h in _CAMEL_HEADS:
+            for t in _CAMEL_TAILS:
+                add(h + t + suffix)
+        for a in _SNAKE_A:
+            for b in _SNAKE_B:
+                add(f"{a}_{b}{suffix}")
+    # unstructured tail: base-26 letter strings, unique by construction
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    i = 0
+    while len(vocab) < n_terms:
+        x = i
+        s = ""
+        for _ in range(7):
+            s += letters[x % 26]
+            x //= 26
+        add("v" + s)
+        i += 1
+    return vocab[:n_terms]
+
+
+def synth_zipf_corpus(n_docs: int, seed: int = SEED, start: int = 0,
+                      n_terms: int = ZIPF_VOCAB,
+                      median_dl: int = 200) -> List[Tuple[str, str, str, str, str]]:
+    """Heavy-tailed corpus chunk, deterministic in (n_docs, seed, start).
+    One vectorized Zipf draw for all tokens; dl ~ clipped lognormal."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_zipf_vocabulary(n_terms))
+    weights = _zipf_weights(n_terms, s=ZIPF_S)
+    lang_idx = rng.choice(len(LANGS), size=n_docs, p=LANG_W)
+    toks_per_doc = np.clip(
+        rng.lognormal(mean=np.log(median_dl), sigma=1.0, size=n_docs), 20, 4000
+    ).astype(np.int64)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(toks_per_doc, out=offsets[1:])
+    flat_idx = rng.choice(n_terms, size=int(offsets[-1]), p=weights)
+    flat = vocab[flat_idx]
+    rows: List[Tuple[str, str, str, str, str]] = []
+    for j in range(n_docs):
+        i = start + j
+        lang = LANGS[int(lang_idx[j])]
+        repo = f"org{i % 13}/zrepo{i % 97}"
+        path = f"src/pkg{i % 211}/zfile{i}.{EXT[lang]}"
+        commit = hashlib.sha256(f"zcommit{i // 50}".encode()).hexdigest()[:40]
+        kw = KEYWORDS[lang]
+        body = " ".join(flat[offsets[j]: offsets[j + 1]].tolist())
+        content = f"{kw[0]} {kw[1]}\n{body}"
+        rows.append((repo, path, commit, lang, content))
+    return rows
+
+
+def _write_zipf_chunk(args) -> str:
+    path, c, n, seed, start, n_terms, median_dl = args
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = synth_zipf_corpus(n, seed=seed, start=start,
+                             n_terms=n_terms, median_dl=median_dl)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "repo": pa.array(cols[0]),
+            "path": pa.array(cols[1]),
+            "commit": pa.array(cols[2]),
+            "lang": pa.array(cols[3]),
+            "content": pa.array(cols[4]),
+        }
+    )
+    out = os.path.join(path, f"part-{c:05d}.parquet")
+    pq.write_table(table, out)
+    return out
+
+
+def write_zipf_corpus_parquet(path: str, n_docs: int, seed: int = SEED,
+                              chunk: int = 50_000, n_terms: int = ZIPF_VOCAB,
+                              median_dl: int = 200, workers: int = 8) -> str:
+    """Deterministic Zipf corpus straight to parquet — same contract as
+    write_corpus_parquet. Chunks are independent (per-chunk derived seed),
+    so generation fans out over a process pool; the output bytes do not
+    depend on worker count."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    os.makedirs(path, exist_ok=True)
+    n_chunks = (n_docs + chunk - 1) // chunk
+    jobs = [
+        (path, c, min(chunk, n_docs - c * chunk), seed + c * 10_007,
+         c * chunk, n_terms, median_dl)
+        for c in range(n_chunks)
+    ]
+    if n_chunks <= 1 or workers <= 1:
+        for j in jobs:
+            _write_zipf_chunk(j)
+    else:
+        with ProcessPoolExecutor(max_workers=min(workers, n_chunks)) as pool:
+            list(pool.map(_write_zipf_chunk, jobs))
+    return path
+
+
 def synth_queries(n_queries: int, seed: int = SEED) -> List[Tuple[int, str]]:
     """(query_id, query_text): 60% mid-frequency, 25% with one hot keyword,
     15% with one rare/absent term (FIXTURES.md §2)."""
