@@ -33,15 +33,16 @@ of the row key and the split count):
 Stage 2 — term-keyed merge into block-max segments (``connectNeighbors``
 merge analog, Index.h:765-834):
 
-    explode(tfmap) -> block_id = doc_id // block_range
-    repartitionByRange(term, block_id) -> varint gap-coded segment
+    explode(tfmap) -> chunk_id = doc_id // (block_range * chunk_blocks)
+    repartitionByRange(term, chunk_id) -> one chunked varint segment row
+    per (term, chunk), with per-block sub-run skip arrays in-row
     term stats (df, cf) are then derived FROM the segments (sum of per-
     segment n / sum_tf) — no second full-corpus aggregation pass.
 
-  Grouping on (term, block_id) IS the hot-term skew treatment: block_id is
+  Grouping on (term, chunk_id) IS the hot-term skew treatment: chunk_id is
   a deterministic doc-range salt, so ``import`` with df=10^9 becomes many
-  bounded groups (each <= block_range docs) instead of one straggler task.
-  AQE skew handling stays on as a backstop.
+  bounded groups (each <= block_range * chunk_blocks docs) instead of one
+  straggler task. AQE skew handling stays on as a backstop.
 
 All heavy lifting is DataFrame ops + Arrow-vectorized mapInPandas; the
 only Python that touches data runs per Arrow batch on numpy arrays.
@@ -84,11 +85,13 @@ def _phase_timer():
 DEFAULT_BLOCK_RANGE = 4096
 DEFAULT_N_SPLITS = 64
 DEFAULT_N_GROUPS = 8
+DEFAULT_CHUNK_BLOCKS = 16
 
 _STAGE1 = "_stage1"
 
 
-def _config_hash(mode: str, params: BM25Params, block_range: int, n_splits: int) -> str:
+def _config_hash(mode: str, params: BM25Params, block_range: int, n_splits: int,
+                 chunk_blocks: int = DEFAULT_CHUNK_BLOCKS) -> str:
     payload = json.dumps(
         {
             "version": MANIFEST_VERSION,
@@ -97,6 +100,7 @@ def _config_hash(mode: str, params: BM25Params, block_range: int, n_splits: int)
             "b": params.b,
             "block_range": block_range,
             "n_splits": n_splits,
+            "chunk_blocks": chunk_blocks,
         },
         sort_keys=True,
     )
@@ -246,19 +250,25 @@ def _verify_resume_input(corpus_split, n_groups: int, done: List[Tuple[str, dict
             )
 
 
-def _make_segment_encoder(block_range: int):
-    """mapInArrow kernel over a (term, block_id)-partitioned stream sorted
-    by (term, block_id, doc_id): emits one varint-coded segment row per
-    (term, block_id) group, fully vectorized — terms are Arrow-dictionary-
-    encoded so NO per-posting Python string objects are ever materialized
-    (the round-2 fix for the encode stage dominating build time); group
-    boundaries by numpy diff over dictionary indices, gap/varint coding in
-    one pass over the whole batch, block summaries by ``np.*.reduceat``.
-    (selectNeighbors analog, Index.h:714-763: the persisted per-block
-    summary that query-time pruning relies on.)
+def _make_segment_encoder(block_range: int, chunk_blocks: int):
+    """mapInArrow kernel over a (term, chunk_id)-partitioned stream sorted
+    by (term, chunk_id, doc_id): emits ONE chunked segment row per
+    (term, chunk) group — a chunk spans ``chunk_blocks`` consecutive
+    doc-id blocks — carrying per-block sub-run arrays (block_ids,
+    block_counts, block_max_tf, block_min_dl) as in-row skip data, the
+    block-max WAND summaries (selectNeighbors analog, Index.h:714-763).
 
-    Groups can span Arrow batch boundaries: the trailing group — exactly
-    one (term, block) pair — is carried into the next batch."""
+    This is the round-2 defragmentation fix: a tail term with df=200
+    scattered over 1000 blocks used to cost ~200 single-posting segment
+    rows; chunked it costs at most n_chunks rows, cutting the postings
+    table's row count (and the query path's scan/shuffle row volume)
+    roughly chunk_blocks-fold while keeping block-grain pruning exact.
+
+    Fully vectorized: terms are Arrow-dictionary-encoded (no per-posting
+    Python strings), group/run boundaries by numpy diff, gap coding
+    restarts at each block sub-run (grouped_gaps), per-run summaries by
+    ``np.*.reduceat``. Groups can span Arrow batch boundaries: the
+    trailing (term, chunk) group is carried into the next batch."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -267,51 +277,76 @@ def _make_segment_encoder(block_range: int):
     out_schema = pa.schema(
         [
             ("term", pa.string()),
-            ("block_id", pa.int64()),
+            ("chunk_id", pa.int64()),
             ("n", pa.int32()),
+            ("block_ids", pa.list_(pa.int64())),
+            ("block_counts", pa.list_(pa.int32())),
+            ("block_max_tf", pa.list_(pa.int64())),
+            ("block_min_dl", pa.list_(pa.int64())),
             ("docs_bin", pa.binary()),
             ("tfs_bin", pa.binary()),
             ("dls_bin", pa.binary()),
-            ("block_max_tf", pa.int64()),
-            ("block_min_dl", pa.int64()),
             ("sum_tf", pa.int64()),
             ("payload_len", pa.int64()),
         ]
     )
 
-    def encode_run(seg_terms: list, blocks: np.ndarray, doc_ids: np.ndarray,
-                   tfs: np.ndarray, dls: np.ndarray, starts: np.ndarray,
-                   ends: np.ndarray) -> pa.RecordBatch:
+    def encode_run(seg_terms: list, chunks: np.ndarray, doc_ids: np.ndarray,
+                   tfs: np.ndarray, dls: np.ndarray, g_starts: np.ndarray,
+                   g_ends: np.ndarray) -> pa.RecordBatch:
         # the group layout must tile the arrays exactly: encode_groups runs
         # to the end of each value array, so a stray tail would silently
         # corrupt the final segment
-        assert len(doc_ids) == int(ends[-1]) and len(seg_terms) == len(starts)
-        bases = blocks[starts] * block_range
-        gaps = grouped_gaps(doc_ids, starts, bases)
-        docs_bin = encode_groups(gaps, starts)
-        tfs_bin = encode_groups(tfs, starts)
-        dls_bin = encode_groups(dls, starts)
-        # block summary = (max tf, min dl): tfn is increasing in tf and
+        assert len(doc_ids) == int(g_ends[-1]) and len(seg_terms) == len(g_starts)
+        n = len(doc_ids)
+        blocks = doc_ids // block_range
+        is_start = np.zeros(n, dtype=bool)
+        is_start[g_starts] = True
+        chg = np.empty(n, dtype=bool)
+        chg[0] = True
+        chg[1:] = blocks[1:] != blocks[:-1]
+        run_starts = np.flatnonzero(chg | is_start)
+        run_counts = np.diff(np.append(run_starts, n))
+        bases = blocks[run_starts] * block_range
+        # per-run gap restart: the first gap of every block sub-run is
+        # coded against that block's base, so a run decodes independently
+        gaps = grouped_gaps(doc_ids, run_starts, bases)
+        docs_run_bytes = encode_groups(gaps, run_starts)
+        tfs_bin = encode_groups(tfs, g_starts)
+        dls_bin = encode_groups(dls, g_starts)
+        # run summary = (max tf, min dl): tfn is increasing in tf and
         # decreasing in dl, so tfn(max_tf, min_dl) >= every tfn in the
-        # block for ANY avgdl — unlike a materialized bmax_tfn, the bound
-        # stays valid when the corpus grows (extend_index shifts avgdl)
-        max_tf = np.maximum.reduceat(tfs, starts)
-        min_dl = np.minimum.reduceat(dls, starts)
-        sum_tf = np.add.reduceat(tfs, starts)
+        # block for ANY avgdl — the bound stays valid when the corpus
+        # grows (extend_index shifts avgdl)
+        run_maxtf = np.maximum.reduceat(tfs, run_starts)
+        run_mindl = np.minimum.reduceat(dls, run_starts)
+        sum_tf = np.add.reduceat(tfs, g_starts)
+        run_group = np.searchsorted(g_starts, run_starts, side="right") - 1
+        runs_per_group = np.bincount(run_group, minlength=len(g_starts)).astype(np.int64)
+        run_off = np.zeros(len(g_starts) + 1, dtype=np.int64)
+        np.cumsum(runs_per_group, out=run_off[1:])
+        docs_bin = []
+        pos = 0
+        for cnt in runs_per_group.tolist():
+            docs_bin.append(b"".join(docs_run_bytes[pos: pos + cnt]))
+            pos += cnt
         payload_len = np.array(
             [len(a) + len(b) + len(c) for a, b, c in zip(docs_bin, tfs_bin, dls_bin)],
             dtype=np.int64,
         )
+        offsets = pa.array(run_off.astype(np.int32), type=pa.int32())
         return pa.RecordBatch.from_arrays(
             [
                 pa.array(seg_terms, type=pa.string()),
-                pa.array(blocks[starts]),
-                pa.array((ends - starts).astype(np.int32)),
+                pa.array(chunks[g_starts]),
+                pa.array((g_ends - g_starts).astype(np.int32)),
+                pa.ListArray.from_arrays(offsets, pa.array(blocks[run_starts])),
+                pa.ListArray.from_arrays(offsets, pa.array(run_counts.astype(np.int32))),
+                pa.ListArray.from_arrays(offsets, pa.array(run_maxtf)),
+                pa.ListArray.from_arrays(offsets, pa.array(run_mindl)),
                 pa.array(docs_bin, type=pa.binary()),
                 pa.array(tfs_bin, type=pa.binary()),
                 pa.array(dls_bin, type=pa.binary()),
-                pa.array(max_tf),
-                pa.array(min_dl),
                 pa.array(sum_tf),
                 pa.array(payload_len),
             ],
@@ -320,7 +355,7 @@ def _make_segment_encoder(block_range: int):
 
     def encode_partition(batches):
         # carry: the trailing group of the previous batch — one (term,
-        # block) pair: (term_str, block_id, doc_ids, tfs, dls)
+        # chunk) pair: (term_str, chunk_id, doc_ids, tfs, dls)
         carry = None
         for rb in batches:
             if rb.num_rows == 0:
@@ -328,7 +363,7 @@ def _make_segment_encoder(block_range: int):
             tdict = pc.dictionary_encode(rb.column(0))
             tids = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             vocab = tdict.dictionary  # pa.StringArray, one entry per distinct term
-            blocks = rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            chunks = rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
             doc_ids = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
             tfs = rb.column(3).to_numpy(zero_copy_only=False).astype(np.int64)
             dls = rb.column(4).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -336,17 +371,17 @@ def _make_segment_encoder(block_range: int):
 
             changed = np.empty(n, dtype=bool)
             changed[0] = True
-            changed[1:] = (tids[1:] != tids[:-1]) | (blocks[1:] != blocks[:-1])
+            changed[1:] = (tids[1:] != tids[:-1]) | (chunks[1:] != chunks[:-1])
             if carry is not None:
                 # batch starts mid-group iff it continues carry's pair
-                if vocab[tids[0]].as_py() == carry[0] and blocks[0] == carry[1]:
+                if vocab[tids[0]].as_py() == carry[0] and chunks[0] == carry[1]:
                     changed[0] = False
                     doc_ids = np.concatenate([carry[2], doc_ids])
                     tfs = np.concatenate([carry[3], tfs])
                     dls = np.concatenate([carry[4], dls])
                     pad = len(carry[2])
                     tids = np.concatenate([np.full(pad, tids[0]), tids])
-                    blocks = np.concatenate([np.full(pad, blocks[0]), blocks])
+                    chunks = np.concatenate([np.full(pad, chunks[0]), chunks])
                     changed = np.concatenate([[True], np.zeros(pad - 1, bool), changed])
                     n += pad
                 else:
@@ -359,7 +394,7 @@ def _make_segment_encoder(block_range: int):
             last_start = int(starts[-1])
             carry = (
                 vocab[tids[last_start]].as_py(),
-                int(blocks[last_start]),
+                int(chunks[last_start]),
                 doc_ids[last_start:],
                 tfs[last_start:],
                 dls[last_start:],
@@ -371,7 +406,7 @@ def _make_segment_encoder(block_range: int):
             seg_terms = pc.take(vocab, pa.array(tids[starts])).to_pylist()
             # slice OFF the carried tail: every yielded array must end at
             # the last complete group boundary
-            yield encode_run(seg_terms, blocks[:last_start], doc_ids[:last_start],
+            yield encode_run(seg_terms, chunks[:last_start], doc_ids[:last_start],
                              tfs[:last_start], dls[:last_start], starts, ends)
         if carry is not None:
             yield encode_run([carry[0]], np.array([carry[1]]), carry[2],
@@ -391,6 +426,7 @@ def build_index(
     n_groups: int = DEFAULT_N_GROUPS,
     out_partitions: Optional[int] = None,
     resume: bool = False,
+    chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
 ) -> LoadedIndex:
     """Build a persistent inverted index from a corpus DataFrame with
     columns (repo, path, commit, lang, content). Returns a LoadedIndex.
@@ -404,7 +440,7 @@ def build_index(
     from pyspark.sql import functions as F
 
     spark = corpus_df.sparkSession
-    cfg_hash = _config_hash(mode, params, block_range, n_splits)
+    cfg_hash = _config_hash(mode, params, block_range, n_splits, chunk_blocks)
 
     if not resume and os.path.exists(out_path):
         shutil.rmtree(out_path)
@@ -453,11 +489,12 @@ def build_index(
                 f.result()
     mark(f"stage1:{len(pending)}-groups")
 
-    return _stage2(spark, out_path, mode, params, block_range, n_splits, out_partitions, cfg_hash)
+    return _stage2(spark, out_path, mode, params, block_range, n_splits,
+                   out_partitions, cfg_hash, chunk_blocks)
 
 
 def _stage2(spark, out_path, mode, params, block_range, n_splits,
-            out_partitions, cfg_hash) -> LoadedIndex:
+            out_partitions, cfg_hash, chunk_blocks=DEFAULT_CHUNK_BLOCKS) -> LoadedIndex:
     """Term-keyed merge of all stage-1 runs into the final index tables.
     Rerunnable: consumes whatever checkpointed (marker-complete) groups
     exist — including extension groups — and rewrites
@@ -486,30 +523,33 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     if out_partitions is None:
         out_partitions = max(spark.sparkContext.defaultParallelism, 8)
 
-    # ---- stage 2a: block-summary posting segments (THE shuffle) ----
+    # ---- stage 2a: chunked block-summary posting segments (THE shuffle) ----
     seg_schema = T.StructType(
         [
             T.StructField("term", T.StringType(), False),
-            T.StructField("block_id", T.LongType(), False),
+            T.StructField("chunk_id", T.LongType(), False),
             T.StructField("n", T.IntegerType(), False),
+            T.StructField("block_ids", T.ArrayType(T.LongType()), False),
+            T.StructField("block_counts", T.ArrayType(T.IntegerType()), False),
+            T.StructField("block_max_tf", T.ArrayType(T.LongType()), False),
+            T.StructField("block_min_dl", T.ArrayType(T.LongType()), False),
             T.StructField("docs_bin", T.BinaryType(), False),
             T.StructField("tfs_bin", T.BinaryType(), False),
             T.StructField("dls_bin", T.BinaryType(), False),
-            T.StructField("block_max_tf", T.LongType(), False),
-            T.StructField("block_min_dl", T.LongType(), False),
             T.StructField("sum_tf", T.LongType(), False),
             T.StructField("payload_len", T.LongType(), False),
         ]
     )
-    encode = _make_segment_encoder(block_range)
+    encode = _make_segment_encoder(block_range, chunk_blocks)
+    chunk_span = block_range * chunk_blocks
     postings = (
-        tf_all.withColumn("block_id", (F.col("doc_id") / F.lit(block_range)).cast("long"))
+        tf_all.withColumn("chunk_id", F.floor(F.col("doc_id") / F.lit(chunk_span)).cast("long"))
         # range partitioning doubles as the final term-sorted layout (the
         # gorder/RCM locality analog): one shuffle serves both the encoder's
         # co-location requirement and the query-time row-group pruning
-        .repartitionByRange(out_partitions, "term", "block_id")
-        .sortWithinPartitions("term", "block_id", "doc_id")
-        .select("term", "block_id", "doc_id", "tf", "dl")
+        .repartitionByRange(out_partitions, "term", "chunk_id")
+        .sortWithinPartitions("term", "chunk_id", "doc_id")
+        .select("term", "chunk_id", "doc_id", "tf", "dl")
         .mapInArrow(encode, schema=seg_schema)
     )
     postings.write.mode("overwrite").parquet(os.path.join(out_path, "postings"))
@@ -566,6 +606,7 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
         b=params.b,
         block_range=block_range,
         n_splits=n_splits,
+        chunk_blocks=chunk_blocks,
         n_docs=n_docs,
         total_dl=total_dl,
         n_terms=int(skew_row["n_terms"] or 0),
@@ -598,6 +639,7 @@ def import_postings(
     n_splits: int = DEFAULT_N_SPLITS,
     docs_df=None,
     out_partitions: Optional[int] = None,
+    chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
 ) -> LoadedIndex:
     """Bulk-adopt a prebuilt postings table — the ``Index::buildGraphLinks``
     .mtx graph-import analog (include/flatnav/index/Index.h:187-238): build
@@ -612,7 +654,7 @@ def import_postings(
     is first-class: extendable, re-optimizable, stage-2 re-runnable."""
     from pyspark.sql import functions as F
 
-    cfg_hash = _config_hash(mode, params, block_range, n_splits)
+    cfg_hash = _config_hash(mode, params, block_range, n_splits, chunk_blocks)
     if os.path.exists(out_path):
         shutil.rmtree(out_path)
     os.makedirs(out_path)
@@ -682,7 +724,7 @@ def import_postings(
 
     _write_group(spark, combined, out_path, "import0", cfg_hash)
     return _stage2(spark, out_path, mode, params, block_range, n_splits,
-                   out_partitions, cfg_hash)
+                   out_partitions, cfg_hash, chunk_blocks)
 
 
 def extend_index(spark, index: LoadedIndex, new_corpus_df,
@@ -716,7 +758,8 @@ def extend_index(spark, index: LoadedIndex, new_corpus_df,
     m = IndexManifest.load(out_path)
     index = LoadedIndex(out_path, m)
     params = m.params
-    cfg_hash = _config_hash(m.tokenizer_mode, params, m.block_range, m.n_splits)
+    cfg_hash = _config_hash(m.tokenizer_mode, params, m.block_range, m.n_splits,
+                            m.chunk_blocks)
     if cfg_hash != m.config_hash:
         raise ValueError("manifest config hash mismatch; refusing to extend")
 
@@ -767,4 +810,4 @@ def extend_index(spark, index: LoadedIndex, new_corpus_df,
     _write_group(spark, _with_doc_features(base, m.tokenizer_mode), out_path, ext, cfg_hash)
 
     return _stage2(spark, out_path, m.tokenizer_mode, params, m.block_range,
-                   m.n_splits, out_partitions, cfg_hash)
+                   m.n_splits, out_partitions, cfg_hash, m.chunk_blocks)

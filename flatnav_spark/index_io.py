@@ -13,9 +13,12 @@ On-disk layout under ``<path>/``:
                          build metrics, per-stage checkpoint lineage
     docs/                (doc_id, repo, path, commit, lang, content_sha, dl)
                          range-partitioned + sorted by doc_id
-    postings/            (term, block_id, n, docs_bin, tfs_bin, dls_bin,
-                         block_max_tf, block_min_dl) range-partitioned + sorted by
-                         (term, block_id) — the gorder/RCM locality analog
+    postings/            (term, chunk_id, n, block_ids[], block_counts[],
+                         block_max_tf[], block_min_dl[], docs_bin, tfs_bin,
+                         dls_bin) range-partitioned + sorted by
+                         (term, chunk_id) — one row per (term, chunk of
+                         chunk_blocks doc-id blocks) with in-row per-block
+                         skip data; the gorder/RCM locality analog
                          (Reordering.h:26-200): layout chosen so a query's
                          term lookups hit few row groups
     stats/               (term, df, cf)
@@ -34,7 +37,10 @@ from flatnav_spark.scorer import BM25Params
 
 # v2: combined stage-1 layout (docs+tfmap single table), sum_tf segment
 # column, key_fingerprint lineage markers — v1 checkpoints refuse to resume
-MANIFEST_VERSION = 2
+# v3: chunked postings — one row per (term, chunk of chunk_blocks doc-id
+# blocks) with per-block sub-run skip arrays (block_ids/block_counts/
+# block_max_tf/block_min_dl); per-run gap restart in docs_bin
+MANIFEST_VERSION = 3
 
 
 @dataclass
@@ -45,6 +51,7 @@ class IndexManifest:
     b: float
     block_range: int
     n_splits: int
+    chunk_blocks: int
     n_docs: int
     total_dl: int
     n_terms: int
@@ -103,6 +110,7 @@ class LoadedIndex:
             "n_postings": m.n_postings,
             "avgdl": m.avgdl,
             "block_range": m.block_range,
+            "chunk_blocks": m.chunk_blocks,
             "tokenizer_mode": m.tokenizer_mode,
             "bm25": {"k1": m.k1, "b": m.b},
             "metrics": m.metrics,

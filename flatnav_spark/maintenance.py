@@ -4,7 +4,7 @@
   applied via Index::doGraphReordering, Index.h:412-440). flatnav permutes
   node ids and physically relocates rows for traversal locality; our
   locality lever is the parquet layout: rewrite postings range-partitioned
-  by (term, block_id), sorted within partitions, with a target partition
+  by (term, chunk_id), sorted within partitions, with a target partition
   count — fewer/larger row groups, tighter term clustering, better
   row-group pruning for term lookups. Results are bit-identical before and
   after (same contract as reordering: ordering changes layout, not math).
@@ -32,10 +32,10 @@ from flatnav_spark.index_io import LoadedIndex
 # layout strategies — the gorder/rcm pair (Reordering.h:26-117, 119-200):
 # two physical orders over the same logical content, benchmarked against
 # each other (tools/query_npy.cpp:34-41).
-#   term: cluster by (term, block_id) — best term-pruned scans (gorder
+#   term: cluster by (term, chunk_id) — best term-pruned scans (gorder
 #         analog: neighbors-of-a-term contiguous)
-#   doc:  cluster by (block_id, term) — aligns with the query path's
-#         block_id shuffle key, best when queries touch most terms (rcm
+#   doc:  cluster by (chunk_id, term) — aligns with the query path's
+#         chunk_id shuffle key, best when queries touch most terms (rcm
 #         analog: breadth-first doc-range order)
 LAYOUT_STRATEGIES = ("term", "doc")
 
@@ -74,7 +74,7 @@ def optimize_index(spark, index: LoadedIndex, out_partitions: Optional[int] = No
     _recover_postings_swap(index.path)
     postings_path = os.path.join(index.path, "postings")
     tmp_path = os.path.join(index.path, "postings__optimizing")
-    keys = ["term", "block_id"] if strategy == "term" else ["block_id", "term"]
+    keys = ["term", "chunk_id"] if strategy == "term" else ["chunk_id", "term"]
     (
         spark.read.parquet(postings_path)
         .repartitionByRange(out_partitions, *keys)
@@ -95,8 +95,10 @@ def optimize_index(spark, index: LoadedIndex, out_partitions: Optional[int] = No
 
 
 def postings_table(spark, index: LoadedIndex):
-    """Decode segments to (term, doc_id, tf, dl) — diagnostics view."""
-    from flatnav_spark.codec import decode_gaps, varint_decode
+    """Decode chunked segments to (term, doc_id, tf, dl) — diagnostics
+    view. Each row's docs_bin is a concatenation of per-block gap runs
+    (first gap of a run coded against that block's base)."""
+    from flatnav_spark.codec import varint_decode
 
     block_range = index.manifest.block_range
 
@@ -104,8 +106,15 @@ def postings_table(spark, index: LoadedIndex):
         for pdf in batches:
             terms, doc_ids, tfs, dls = [], [], [], []
             for row in pdf.itertuples(index=False):
-                base = int(row.block_id) * block_range
-                ids = decode_gaps(row.docs_bin, base)
+                gaps = varint_decode(row.docs_bin).astype(np.int64)
+                counts = np.asarray(row.block_counts, dtype=np.int64)
+                starts = np.zeros(counts.size, dtype=np.int64)
+                np.cumsum(counts[:-1], out=starts[1:])
+                # restart each run at its block base
+                bases = np.asarray(row.block_ids, dtype=np.int64) * block_range
+                c = np.cumsum(gaps)
+                carry = c[starts] - gaps[starts]
+                ids = c - np.repeat(carry, counts) + np.repeat(bases, counts)
                 terms.append(np.repeat(np.array([row.term], dtype=object), len(ids)))
                 doc_ids.append(ids)
                 tfs.append(varint_decode(row.tfs_bin).astype(np.int64))

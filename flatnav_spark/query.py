@@ -13,13 +13,15 @@ Plan shape — ONE shuffle on the hot path, no join:
   2. postings scan with a literal ``term IN (...)`` filter (row-group
      pruning on the term-sorted layout) — only segments of query terms
      are read and shuffled.
-  3. repartition by block_id, sortWithinPartitions(block_id, term),
-     mapInPandas scorer: each task walks its blocks in order; per block it
-     decodes every needed segment ONCE and accumulates contributions for
-     all queries (vectorized per (term, query) pair, ascending term order
-     per doc — the determinism contract shared with
-     flatnav_spark.reference). Because block_id = doc_id // block_range is
-     term-independent, a doc's full score is computed in exactly one task.
+  3. repartition by chunk_id, sortWithinPartitions(chunk_id, term),
+     mapInPandas scorer: each task walks its chunks in order; per chunk it
+     decodes every needed row's postings in ONE concatenated varint pass,
+     then scores the chunk's blocks ascending, accumulating contributions
+     for all queries (vectorized per (term, query) pair, ascending term
+     order per doc — the determinism contract shared with
+     flatnav_spark.reference). Because chunk_id = doc_id // (block_range *
+     chunk_blocks) is term-independent, a doc's full score is computed in
+     exactly one task.
   4. per-task per-query top-k (k rows out per query per task), then a
      final window row_number() over (score desc, doc_id asc) <= k — the
      Q4 sort+truncate analog (Index.h:402-406) with explicit tie-breaking.
@@ -147,6 +149,7 @@ def _make_partition_scorer(
     params,
     scorer_name: str,
     block_range: int,
+    chunk_blocks: int,
     k: int,
     prune: bool,
     acc_blocks_scored=None,
@@ -156,25 +159,26 @@ def _make_partition_scorer(
     acc_pairs_scored=None,
     acc_pairs_pruned=None,
 ):
-    """mapInPandas kernel over a block_id-partitioned, (block_id, term)-
-    sorted stream of posting segments. Per-block memory:
-    O(block_range x active queries) float64 — active, not total.
+    """mapInPandas kernel over a chunk_id-partitioned, (chunk_id, term)-
+    sorted stream of CHUNKED posting segments (one row per (term, chunk of
+    chunk_blocks blocks), per-block sub-run skip arrays in-row).
 
-    Decode is BATCHED (round-2 VERDICT #3): all of a block's needed
-    segments are varint-decoded in ONE concatenated pass (three buffer
-    joins + three vectorized decodes per block instead of three numpy
-    re-entries per segment) — at 1M docs the old per-segment loop
-    re-entered Python/numpy ~1.8M times per full scan.
+    Per chunk: decode every needed row's postings in ONE concatenated
+    varint pass (round-2 VERDICT #3 — three vectorized decodes per chunk
+    instead of three numpy re-entries per (term, block) segment), compute
+    the per-(query, block) WAND bound matrix from the in-row block-max
+    arrays, then walk the chunk's blocks in ascending order scoring each
+    against CURRENT thresholds. Per-block memory stays
+    O(block_range x active queries) float64 — active, not total.
 
     The outer-product accumulate applies, per (query, doc) cell, exactly
     one scalar IEEE add of w*tfn per term in ascending term order —
     bit-identical to the reference scorer's sequential accumulation (IEEE
     multiply commutes).
 
-    WAND pruning operates at two grains, both counted (the M4
-    distance-computations analog): whole blocks (every query's bound below
-    its threshold) and single segments (every query using that term pruned
-    for this block — the segment is never decoded)."""
+    WAND is counted at three grains (the M4 distance-computations analog):
+    whole blocks, sub-runs ("segments" — the old (term, block) decode
+    unit), and (query, block) pairs."""
     n_q = len(query_ids)
     scorer = get_scorer(scorer_name)
 
@@ -189,14 +193,12 @@ def _make_partition_scorer(
         n_qb_pruned = 0  # ...vs skipped per-query by the WAND bound — the
         # finest-grain honest measure: in batch mode a block is rarely
         # skippable for EVERY query at once, but per-query column pruning
-        # still saves the accumulate/top-k work
+        # still saves the decode/accumulate/top-k work
         any_full = False  # becomes True once some top-k fills -> bounds can prune
 
-        def do_block(pdf: pd.DataFrame) -> None:
+        def do_chunk(pdf: pd.DataFrame) -> None:
             nonlocal n_scored, n_pruned, n_seg_scored, n_seg_pruned, any_full
             nonlocal n_qb_scored, n_qb_pruned
-            block_id = int(pdf["block_id"].iloc[0])
-            base = block_id * block_range
             tids = plan.row_tids(pdf["term"].to_numpy())
             known = tids >= 0
             if not known.any():
@@ -206,94 +208,140 @@ def _make_partition_scorer(
                 tids = tids[known]
             flat, rows, lens = plan.flatten(tids)
             qi_all = plan.q_idx[flat]
-
-            present = np.zeros(n_q, dtype=bool)
-            present[qi_all] = True
-            if prune and any_full:
-                # metadata-only per-query upper bound for this block —
-                # one vectorized scatter-add over the CSR expansion
-                bmaxes = scorer.tfn_upper(
-                    pdf["block_max_tf"].to_numpy(np.int64),
-                    pdf["block_min_dl"].to_numpy(np.int64),
-                    avgdl,
-                    params,
-                )
-                ub = np.bincount(
-                    qi_all, weights=plan.weights[flat] * bmaxes[rows], minlength=n_q
-                )
-                ub[present] = ub[present] * (1.0 + _UB_REL) + _UB_ABS
-                active = present & (ub >= thr)
-            else:
-                active = present
-            n_qb_scored += int(active.sum())
-            n_qb_pruned += int((present & ~active).sum())
             n_rows = len(tids)
-            if not active.any():
-                n_pruned += 1
-                n_seg_pruned += n_rows
-                return
-            n_scored += 1
-
-            # active-query column compression: accumulator is sized to the
-            # queries this block can touch, not the whole batch
-            act = np.flatnonzero(active)
-            n_act = act.size
-            inv = np.full(n_q, -1, dtype=np.int64)
-            inv[act] = np.arange(n_act, dtype=np.int64)
-            acc = np.zeros((block_range, n_act), dtype=np.float64)
-            seen = np.zeros((block_range, n_act), dtype=bool)
-
-            # segment-grain prune: a row is decoded only if >= 1 query
-            # using its term survived the bound check
-            pair_active = active[qi_all]
             row_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            act_rows = np.flatnonzero(
-                np.bincount(rows, weights=pair_active, minlength=n_rows) > 0
-            )
-            n_seg_scored += act_rows.size
-            n_seg_pruned += n_rows - act_rows.size
-            if act_rows.size == 0:
+
+            # ---- flatten the in-row block sub-run (skip) arrays ----
+            blk_lists = pdf["block_ids"].to_numpy()
+            run_per_row = np.fromiter((len(x) for x in blk_lists), dtype=np.int64,
+                                      count=n_rows)
+            run_row = np.repeat(np.arange(n_rows, dtype=np.int64), run_per_row)
+            run_block = np.concatenate(blk_lists).astype(np.int64)
+            run_count = np.concatenate(pdf["block_counts"].to_numpy()).astype(np.int64)
+            u = run_block.size
+            # distinct blocks present in this chunk, ascending
+            blocks_present = np.unique(run_block)
+            nb = blocks_present.size
+            run_bloc = np.searchsorted(blocks_present, run_block)
+
+            # per-(query, block-local) presence + WAND upper-bound matrix:
+            # expand each run to its row's (query, weight) pairs
+            ln = lens[run_row]
+            total = int(ln.sum())
+            off = np.zeros(u, dtype=np.int64)
+            np.cumsum(ln[:-1], out=off[1:])
+            exp_run = np.repeat(np.arange(u, dtype=np.int64), ln)
+            rel = np.arange(total, dtype=np.int64) - np.repeat(off, ln)
+            pair_idx = row_start[run_row][exp_run] + rel
+            q_of = qi_all[pair_idx]
+            cell = q_of * nb + run_bloc[exp_run]
+            present2d = np.zeros(n_q * nb, dtype=bool)
+            present2d[cell] = True
+            present2d = present2d.reshape(n_q, nb)
+            if prune:
+                run_maxtf = np.concatenate(pdf["block_max_tf"].to_numpy()).astype(np.int64)
+                run_mindl = np.concatenate(pdf["block_min_dl"].to_numpy()).astype(np.int64)
+                tfn_up = scorer.tfn_upper(run_maxtf, run_mindl, avgdl, params)
+                w_of = plan.weights[flat[pair_idx]]
+                ub2d = np.bincount(
+                    cell, weights=w_of * tfn_up[exp_run], minlength=n_q * nb
+                ).reshape(n_q, nb)
+                ub2d[present2d] = ub2d[present2d] * (1.0 + _UB_REL) + _UB_ABS
+            else:
+                ub2d = None
+
+            # ---- decode decision at chunk entry (thresholds only grow,
+            # so entry-active is a superset of every later active set) ----
+            if prune and any_full:
+                entry_active2d = present2d & (ub2d >= thr[:, None])
+            else:
+                entry_active2d = present2d
+            # a run needs decoding iff any query is entry-active on its block
+            q_any_b = entry_active2d.any(axis=0)  # (nb,)
+            run_needed = q_any_b[run_bloc]
+            row_needed = np.bincount(run_row, weights=run_needed, minlength=n_rows) > 0
+            dec_rows = np.flatnonzero(row_needed)
+            if dec_rows.size == 0:
+                n_pruned += nb
+                n_seg_pruned += u
+                n_qb_pruned += int(present2d.sum())
                 return
 
-            # ---- batched decode of every needed segment in this block ----
+            # ---- batched decode of every needed row in this chunk ----
             docs_bin = pdf["docs_bin"].to_numpy()
             tfs_bin = pdf["tfs_bin"].to_numpy()
             dls_bin = pdf["dls_bin"].to_numpy()
-            n_post = pdf["n"].to_numpy().astype(np.int64)[act_rows]
-            post_start = np.zeros(act_rows.size, dtype=np.int64)
-            np.cumsum(n_post[:-1], out=post_start[1:])
-            gaps = varint_decode(b"".join(docs_bin[act_rows])).astype(np.int64)
-            tfs = varint_decode(b"".join(tfs_bin[act_rows])).astype(np.int64)
-            dls = varint_decode(b"".join(dls_bin[act_rows])).astype(np.int64)
-            # per-segment gap cumsum -> local doc index in [0, block_range)
-            # (the first gap of each segment is coded against the block base)
-            li_all = _grouped_prefix_sums(gaps, post_start, n_post)
+            run_dec = row_needed[run_row]  # runs of decoded rows
+            d_run_count = run_count[run_dec]
+            d_run_start = np.zeros(d_run_count.size, dtype=np.int64)
+            np.cumsum(d_run_count[:-1], out=d_run_start[1:])
+            gaps = varint_decode(b"".join(docs_bin[dec_rows])).astype(np.int64)
+            tfs = varint_decode(b"".join(tfs_bin[dec_rows])).astype(np.int64)
+            dls = varint_decode(b"".join(dls_bin[dec_rows])).astype(np.int64)
+            assert gaps.size == int(d_run_count.sum()) == tfs.size == dls.size
+            # per-RUN gap cumsum -> local doc index in [0, block_range)
+            # (the first gap of each sub-run is coded against its block base)
+            li_all = _grouped_prefix_sums(gaps, d_run_start, d_run_count)
             tfn_all = scorer.tfn(tfs, dls, avgdl, params)
 
-            # rows arrive term-ascending (sortWithinPartitions) — per-doc
-            # accumulation order matches the reference scorer exactly
-            for j, r in enumerate(act_rows.tolist()):
-                sl = slice(row_start[r], row_start[r] + lens[r])
-                qi = qi_all[sl]
-                mask = active[qi]
-                cols = inv[qi[mask]]
-                w = plan.weights[flat[sl]][mask]
-                p0 = post_start[j]
-                p1 = p0 + n_post[j]
-                cell = np.ix_(li_all[p0:p1], cols)
-                acc[cell] += np.multiply.outer(tfn_all[p0:p1], w)
-                seen[cell] = True
+            # map each global run id -> its posting slice in decoded space
+            run_slice_start = np.full(u, -1, dtype=np.int64)
+            run_slice_start[run_dec] = d_run_start
 
-            for local, q_idx in enumerate(act):
-                hit = np.flatnonzero(seen[:, local])
-                if hit.size == 0:
+            # ---- walk the chunk's blocks ascending, freshest thresholds ----
+            # per block, runs must apply in ascending TERM order: run_row is
+            # already term-ascending, so a stable selection preserves it
+            for b_loc in range(nb):
+                runs_b = np.flatnonzero(run_bloc == b_loc)
+                if prune and any_full:
+                    active = present2d[:, b_loc] & (ub2d[:, b_loc] >= thr)
+                else:
+                    active = present2d[:, b_loc]
+                n_qb_scored += int(active.sum())
+                n_qb_pruned += int((present2d[:, b_loc] & ~active).sum())
+                if not active.any():
+                    n_pruned += 1
+                    n_seg_pruned += runs_b.size
                     continue
-                t = topk[q_idx]
-                t.push(hit + base, acc[hit, local])
-                new_thr = t.threshold()
-                if new_thr != -np.inf:
-                    any_full = True
-                thr[q_idx] = new_thr
+                n_scored += 1
+                base = int(blocks_present[b_loc]) * block_range
+
+                act = np.flatnonzero(active)
+                n_act = act.size
+                inv = np.full(n_q, -1, dtype=np.int64)
+                inv[act] = np.arange(n_act, dtype=np.int64)
+                acc = np.zeros((block_range, n_act), dtype=np.float64)
+                seen = np.zeros((block_range, n_act), dtype=bool)
+
+                scored_here = 0
+                for uu in runs_b.tolist():
+                    r = run_row[uu]
+                    sl = slice(row_start[r], row_start[r] + lens[r])
+                    qi = qi_all[sl]
+                    mask = active[qi]
+                    if not mask.any():
+                        continue
+                    scored_here += 1
+                    cols = inv[qi[mask]]
+                    w = plan.weights[flat[sl]][mask]
+                    p0 = run_slice_start[uu]
+                    p1 = p0 + run_count[uu]
+                    cell_ix = np.ix_(li_all[p0:p1], cols)
+                    acc[cell_ix] += np.multiply.outer(tfn_all[p0:p1], w)
+                    seen[cell_ix] = True
+                n_seg_scored += scored_here
+                n_seg_pruned += runs_b.size - scored_here
+
+                for local, q_idx in enumerate(act):
+                    hit = np.flatnonzero(seen[:, local])
+                    if hit.size == 0:
+                        continue
+                    t = topk[q_idx]
+                    t.push(hit + base, acc[hit, local])
+                    new_thr = t.threshold()
+                    if new_thr != -np.inf:
+                        any_full = True
+                    thr[q_idx] = new_thr
 
         carry: Optional[pd.DataFrame] = None
         for batch in batches:
@@ -301,14 +349,14 @@ def _make_partition_scorer(
             if pdf.empty:
                 carry = None
                 continue
-            last = pdf["block_id"].iloc[-1]
-            head = pdf[pdf["block_id"] != last]
-            carry = pdf[pdf["block_id"] == last]
+            last = pdf["chunk_id"].iloc[-1]
+            head = pdf[pdf["chunk_id"] != last]
+            carry = pdf[pdf["chunk_id"] == last]
             if not head.empty:
-                for _, grp in head.groupby("block_id", sort=True):
-                    do_block(grp)
+                for _, grp in head.groupby("chunk_id", sort=True):
+                    do_chunk(grp)
         if carry is not None and not carry.empty:
-            do_block(carry)
+            do_chunk(carry)
 
         if acc_blocks_scored is not None:
             acc_blocks_scored.add(n_scored)
@@ -385,11 +433,11 @@ def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
     postings = index.postings(spark).filter(F.col("term").isin(plan.terms))
     part_scorer = _make_partition_scorer(
         plan, np.array(qids, dtype=np.int64), m.avgdl, m.params, scorer_name,
-        m.block_range, k, prune, *accs,
+        m.block_range, m.chunk_blocks, k, prune, *accs,
     )
     return (
-        postings.repartition(num_partitions, "block_id")
-        .sortWithinPartitions("block_id", "term")
+        postings.repartition(num_partitions, "chunk_id")
+        .sortWithinPartitions("chunk_id", "term")
         .mapInPandas(part_scorer, "query_id long, doc_id long, score double")
     )
 
