@@ -625,6 +625,14 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
         lineage=lineage,
     )
     manifest.save(out_path)
+    # a full stage-2 resets the generational layout to the defaults: any
+    # generation directory from previous incremental extends is stale
+    import glob as _glob
+
+    for d in _glob.glob(os.path.join(out_path, "postings_*")) + _glob.glob(
+        os.path.join(out_path, "docs_*")
+    ) + _glob.glob(os.path.join(out_path, "stats_*")):
+        shutil.rmtree(d, ignore_errors=True)
     mark("stage2:metrics-manifest")
     return LoadedIndex(out_path, manifest)
 
@@ -730,22 +738,29 @@ def import_postings(
 def extend_index(spark, index: LoadedIndex, new_corpus_df,
                  out_partitions: Optional[int] = None) -> LoadedIndex:
     """Incremental insert — the ``Index::add`` analog for a live index
-    (Index.h:353-378): append new documents without re-tokenizing the
-    existing corpus.
+    (Index.h:353-378): append new documents without re-tokenizing OR
+    re-encoding the existing corpus.
 
-    New docs get doc_ids continuing each split's ordinal sequence, so
-    existing doc_ids never change. Documents whose (repo, path, commit)
-    already exists are skipped (idempotent re-adds). Stage 2 reruns over
-    all checkpointed runs — old + new — so stats (df, avgdl) are globally
-    correct; block summaries are avgdl-independent by design, and BM25
-    scores naturally shift with the grown corpus exactly as the reference
-    scorer's would.
+    New docs get doc_ids continuing each split's ordinal sequence — but
+    rounded up to the next CHUNK boundary, so no (term, chunk) pair is
+    ever shared between old and new postings. That makes the merge a pure
+    APPEND: the new group's segments become a fresh postings generation
+    directory, docs a fresh docs generation, and term stats an
+    outer-join merge of old stats with the generation's — work is
+    O(new docs + vocab), never O(corpus). The manifest (written
+    atomically) is the commit point; optimize_index compacts generations.
 
-    Crash safety: offsets and existing keys are computed from the union of
-    the marker-complete stage-1 groups (the actual stage-2 input), NOT the
-    final docs table — so an extend that crashed after its group marker
-    but before stage 2 can never hand out already-claimed doc_ids on the
-    next run. Marker-less (partially written) groups are deleted first.
+    Existing doc_ids never change; documents whose (repo, path, commit)
+    already exists are skipped (idempotent re-adds). Global stats
+    (df, N, avgdl) are exact after the merge; block summaries are
+    avgdl-independent by design, so BM25 scores equal a fresh build's
+    semantics over the grown corpus (rank-identical, tests/test_extend.py).
+
+    Crash safety: offsets and existing keys come from the union of
+    marker-complete stage-1 groups (never the final docs table); any
+    checkpointed group not yet in manifest lineage — e.g. from an extend
+    that crashed mid-merge — is picked up and encoded by the next call.
+    Marker-less (partially written) groups are deleted first.
     """
     import glob as _glob
 
@@ -755,6 +770,7 @@ def extend_index(spark, index: LoadedIndex, new_corpus_df,
     out_path = index.path
     # always operate on the ON-DISK state: the caller may hold a stale
     # handle from before a previous extension
+    caller_manifest = index.manifest
     m = IndexManifest.load(out_path)
     index = LoadedIndex(out_path, m)
     params = m.params
@@ -779,35 +795,187 @@ def extend_index(spark, index: LoadedIndex, new_corpus_df,
     )
 
     fresh = new_corpus_df.join(s1_docs, ["repo", "path", "commit"], "left_anti")
-    if fresh.isEmpty():
-        return index  # idempotent re-add: nothing new, index unchanged
-
-    # per-split ordinal offsets from existing doc_ids (doc_id = ord*S + split)
-    S = m.n_splits
-    offsets = (
-        s1_docs.select(
-            F.pmod(F.col("doc_id"), F.lit(S)).alias("split"),
-            # integer floor division: float `/` loses exactness above 2^53
-            # and truncates (not floors) negatives — imported ids are
-            # validated to [0, 2^53) but keep the arithmetic exact anyway
-            F.floor(F.col("doc_id") / F.lit(S)).cast("long").alias("ordinal"),
+    if not fresh.isEmpty():
+        # per-split ordinal offsets (doc_id = ord*S + split), rounded up so
+        # every new doc_id lands at/after the next chunk boundary — the
+        # disjointness guarantee the append-only merge relies on
+        S = m.n_splits
+        chunk_span = m.block_range * m.chunk_blocks
+        max_id = s1_docs.agg(F.max("doc_id")).collect()[0][0]
+        boundary = ((int(max_id) // chunk_span) + 1) * chunk_span if max_id is not None else 0
+        offsets = (
+            s1_docs.select(
+                F.pmod(F.col("doc_id"), F.lit(S)).alias("split"),
+                # integer floor division: float `/` loses exactness above
+                # 2^53 and truncates (not floors) negatives — imported ids
+                # are validated to [0, 2^53) but keep the arithmetic exact
+                F.floor(F.col("doc_id") / F.lit(S)).cast("long").alias("ordinal"),
+            )
+            .groupBy("split")
+            .agg(F.max("ordinal").alias("max_ord"))
+            .select(
+                "split",
+                F.greatest(
+                    F.col("max_ord") + 1,
+                    F.ceil((F.lit(boundary) - F.col("split")) / F.lit(S)).cast("long"),
+                ).alias("offset"),
+            )
         )
-        .groupBy("split")
-        .agg((F.max("ordinal") + 1).alias("offset"))
-    )
 
-    # offsets has at most n_splits rows — a true small-side broadcast
-    sub = fresh.withColumn(
-        "split", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(S)).cast("long")
-    ).join(F.broadcast(offsets), "split", "left").withColumn(
-        "offset", F.coalesce(F.col("offset"), F.lit(0).cast("long"))
-    )
+        # offsets has at most n_splits rows — a true small-side broadcast
+        sub = fresh.withColumn(
+            "split", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(S)).cast("long")
+        ).join(F.broadcast(offsets), "split", "left").withColumn(
+            "offset",
+            F.coalesce(
+                F.col("offset"),
+                F.lit(0).cast("long")
+                + F.ceil((F.lit(boundary) - F.col("split")) / F.lit(S)).cast("long"),
+            ),
+        )
 
-    w = Window.partitionBy("split").orderBy("repo", "path", "commit")
-    base = sub.withColumn("ordinal", F.row_number().over(w) - 1 + F.col("offset")).withColumn(
-        "doc_id", F.col("ordinal") * F.lit(S) + F.col("split")
-    )
-    _write_group(spark, _with_doc_features(base, m.tokenizer_mode), out_path, ext, cfg_hash)
+        w = Window.partitionBy("split").orderBy("repo", "path", "commit")
+        base = sub.withColumn(
+            "ordinal", F.row_number().over(w) - 1 + F.col("offset")
+        ).withColumn("doc_id", F.col("ordinal") * F.lit(S) + F.col("split"))
+        _write_group(spark, _with_doc_features(base, m.tokenizer_mode), out_path,
+                     ext, cfg_hash)
 
-    return _stage2(spark, out_path, m.tokenizer_mode, params, m.block_range,
-                   m.n_splits, out_partitions, cfg_hash, m.chunk_blocks)
+    # merge every checkpointed group the manifest hasn't committed yet —
+    # normally just the one written above, plus any from a crashed extend
+    pending = [g for g, _meta in _complete_groups(out_path) if g not in m.lineage]
+    if not pending:
+        return index  # idempotent re-add: nothing new, index unchanged
+    out = _append_generation(spark, out_path, m, pending, out_partitions)
+    # sync the caller's handle (stats dir was swapped; old one is deleted)
+    caller_manifest.__dict__.update(vars(out.manifest))
+    return out
+
+
+def _append_generation(spark, out_path: str, m: IndexManifest,
+                       pending: List[str], out_partitions: Optional[int]) -> LoadedIndex:
+    """Encode ONLY the pending stage-1 groups into a new postings/docs
+    generation and outer-join-merge the term stats — the O(new docs)
+    incremental stage 2. Chunk disjointness (extension ids start at a
+    fresh chunk boundary) guarantees no (term, chunk) row exists in two
+    generations. The atomic manifest rewrite commits the generation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    mark = _phase_timer()
+    tag = "-".join(pending)
+    gen_postings = f"postings_{tag}"
+    gen_docs = f"docs_{tag}"
+    gen_stats = f"stats_{tag}"
+
+    group_paths = [os.path.join(out_path, _STAGE1, f"group={g}", "docs") for g in pending]
+    combined = spark.read.parquet(*group_paths)
+    docs_new = combined.drop("tfmap")
+    tf_new = combined.select(
+        "doc_id", "dl", F.explode("tfmap").alias("term", "tf")
+    ).withColumn("tf", F.col("tf").cast("long"))
+
+    if out_partitions is None:
+        out_partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    seg_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("chunk_id", T.LongType(), False),
+            T.StructField("n", T.IntegerType(), False),
+            T.StructField("block_ids", T.ArrayType(T.LongType()), False),
+            T.StructField("block_counts", T.ArrayType(T.IntegerType()), False),
+            T.StructField("block_max_tf", T.ArrayType(T.LongType()), False),
+            T.StructField("block_min_dl", T.ArrayType(T.LongType()), False),
+            T.StructField("docs_bin", T.BinaryType(), False),
+            T.StructField("tfs_bin", T.BinaryType(), False),
+            T.StructField("dls_bin", T.BinaryType(), False),
+            T.StructField("sum_tf", T.LongType(), False),
+            T.StructField("payload_len", T.LongType(), False),
+        ]
+    )
+    encode = _make_segment_encoder(m.block_range, m.chunk_blocks)
+    chunk_span = m.block_range * m.chunk_blocks
+    (
+        tf_new.withColumn("chunk_id", F.floor(F.col("doc_id") / F.lit(chunk_span)).cast("long"))
+        .repartitionByRange(out_partitions, "term", "chunk_id")
+        .sortWithinPartitions("term", "chunk_id", "doc_id")
+        .select("term", "chunk_id", "doc_id", "tf", "dl")
+        .mapInArrow(encode, schema=seg_schema)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, gen_postings))
+    )
+    seg_df = spark.read.parquet(os.path.join(out_path, gen_postings))
+    mark(f"extend:{tag}:encode")
+
+    # ---- stats merge: old stats ⟗ generation stats (O(vocab), no
+    # posting-level work on the existing corpus) ----
+    new_stats = seg_df.groupBy("term").agg(
+        F.sum("n").cast("long").alias("df_new"),
+        F.sum("sum_tf").cast("long").alias("cf_new"),
+    )
+    old_stats = spark.read.parquet(os.path.join(out_path, m.stats_dir))
+    merged = (
+        old_stats.join(new_stats, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("df_new"), F.lit(0)))
+            .cast("long").alias("df"),
+            (F.coalesce(F.col("cf"), F.lit(0)) + F.coalesce(F.col("cf_new"), F.lit(0)))
+            .cast("long").alias("cf"),
+        )
+    )
+    (
+        merged.repartitionByRange(max(out_partitions // 4, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, gen_stats))
+    )
+    mark(f"extend:{tag}:stats-merge")
+
+    (
+        docs_new.repartitionByRange(max(out_partitions // 2, 1), "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, gen_docs))
+    )
+    mark(f"extend:{tag}:docs")
+
+    # ---- deltas + merged-vocab metrics (segment scans prune to ints) ----
+    drow = docs_new.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl")
+    ).collect()[0]
+    srow = seg_df.agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("n").alias("n_postings"),
+        F.sum("payload_len").alias("payload_bytes"),
+    ).collect()[0]
+    stats_written = spark.read.parquet(os.path.join(out_path, gen_stats))
+    skew_row = stats_written.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.max("df").alias("max_df"),
+        F.avg("df").alias("mean_df"),
+    ).collect()[0]
+
+    old_stats_dir = m.stats_dir
+    m.n_docs += int(drow["n"] or 0)
+    m.total_dl += int(drow["dl"] or 0)
+    m.n_postings += int(srow["n_postings"] or 0)
+    m.n_terms = int(skew_row["n_terms"] or 0)
+    m.metrics["n_segments"] = int(m.metrics.get("n_segments", 0)) + int(srow["n_segments"] or 0)
+    m.metrics["payload_bytes"] = int(m.metrics.get("payload_bytes", 0)) + int(srow["payload_bytes"] or 0)
+    m.metrics["bytes_per_posting"] = (
+        m.metrics["payload_bytes"] / m.n_postings if m.n_postings else 0.0
+    )
+    m.metrics["skew_ratio_max_df_over_mean"] = (
+        float(skew_row["max_df"]) / float(skew_row["mean_df"]) if skew_row["mean_df"] else 0.0
+    )
+    m.postings_dirs = list(m.postings_dirs) + [gen_postings]
+    m.docs_dirs = list(m.docs_dirs) + [gen_docs]
+    m.stats_dir = gen_stats
+    m.lineage = {str(g): meta for g, meta in _complete_groups(out_path)}
+    m.save(out_path)  # atomic commit point
+    if old_stats_dir != gen_stats:
+        shutil.rmtree(os.path.join(out_path, old_stats_dir), ignore_errors=True)
+    mark(f"extend:{tag}:commit")
+    return LoadedIndex(out_path, m)

@@ -59,6 +59,14 @@ class IndexManifest:
     config_hash: str
     metrics: dict = field(default_factory=dict)
     lineage: dict = field(default_factory=dict)
+    # generational table layout (incremental extend): each extend appends a
+    # postings/docs generation directory and swaps in a merged stats dir;
+    # optimize_index compacts generations back to the defaults. The
+    # manifest is the atomic commit point — an unreferenced directory is
+    # dead weight, never wrong data.
+    postings_dirs: list = field(default_factory=lambda: ["postings"])
+    docs_dirs: list = field(default_factory=lambda: ["docs"])
+    stats_dir: str = "stats"
 
     @property
     def avgdl(self) -> float:
@@ -71,9 +79,14 @@ class IndexManifest:
         return BM25Params(k1=self.k1, b=self.b)
 
     def save(self, path: str) -> None:
+        # write-then-rename: the manifest is the commit point for every
+        # multi-directory mutation (extend generations, optimize swap), so
+        # a crash mid-save must never leave a torn file
         os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "manifest.json"), "w") as f:
+        tmp = os.path.join(path, "manifest.json.tmp")
+        with open(tmp, "w") as f:
             json.dump(asdict(self), f, indent=2, sort_keys=True)
+        os.replace(tmp, os.path.join(path, "manifest.json"))
 
     @staticmethod
     def load(path: str) -> "IndexManifest":
@@ -92,13 +105,17 @@ class LoadedIndex:
         self.manifest = manifest
 
     def docs(self, spark):
-        return spark.read.parquet(os.path.join(self.path, "docs"))
+        return spark.read.parquet(
+            *[os.path.join(self.path, d) for d in self.manifest.docs_dirs]
+        )
 
     def postings(self, spark):
-        return spark.read.parquet(os.path.join(self.path, "postings"))
+        return spark.read.parquet(
+            *[os.path.join(self.path, d) for d in self.manifest.postings_dirs]
+        )
 
     def term_stats(self, spark):
-        return spark.read.parquet(os.path.join(self.path, "stats"))
+        return spark.read.parquet(os.path.join(self.path, self.manifest.stats_dir))
 
     def info(self) -> dict:
         """getIndexSummary analog (Index.h:538-548)."""

@@ -60,11 +60,17 @@ def _recover_postings_swap(index_path: str) -> None:
 def optimize_index(spark, index: LoadedIndex, out_partitions: Optional[int] = None,
                    strategy: str = "term") -> LoadedIndex:
     """Rewrite the postings table with a fresh clustered layout
-    (``strategy`` in LAYOUT_STRATEGIES). In-place at the index path, like
-    ``relabel``'s in-place permutation (Index.h:872-926), crash-safe:
-    recovery at entry + rename-swap at the end, so every crash point
-    leaves either the old or the new table intact and a re-run converges."""
+    (``strategy`` in LAYOUT_STRATEGIES), COMPACTING all extend generations
+    into one directory. In-place at the index path, like ``relabel``'s
+    in-place permutation (Index.h:872-926), crash-safe via the
+    write-new-dir-then-commit-manifest protocol: the compacted table goes
+    to a fresh uniquely-named directory, the atomic manifest rewrite flips
+    the reference, and only then are the superseded directories deleted —
+    every crash point leaves the manifest pointing at one complete,
+    consistent set of directories."""
     import shutil
+
+    from flatnav_spark.index_io import IndexManifest
 
     if strategy not in LAYOUT_STRATEGIES:
         raise ValueError(f"unknown layout strategy {strategy!r}; expected one of {LAYOUT_STRATEGIES}")
@@ -72,25 +78,31 @@ def optimize_index(spark, index: LoadedIndex, out_partitions: Optional[int] = No
         out_partitions = max(spark.sparkContext.defaultParallelism // 2, 4)
 
     _recover_postings_swap(index.path)
-    postings_path = os.path.join(index.path, "postings")
-    tmp_path = os.path.join(index.path, "postings__optimizing")
+    # operate on the ON-DISK state (the caller may hold a stale handle)
+    caller_manifest = index.manifest
+    m = IndexManifest.load(index.path)
+    index = LoadedIndex(index.path, m)
+    opt_gen = int(m.metrics.get("opt_gen", 0)) + 1
+    new_dir = f"postings_opt{opt_gen}"
     keys = ["term", "chunk_id"] if strategy == "term" else ["chunk_id", "term"]
     (
-        spark.read.parquet(postings_path)
+        index.postings(spark)  # union of every generation
         .repartitionByRange(out_partitions, *keys)
         .sortWithinPartitions(*keys)
         .write.mode("overwrite")
-        .parquet(tmp_path)
+        .parquet(os.path.join(index.path, new_dir))
     )
-    old_path = os.path.join(index.path, "postings__old")
-    os.rename(postings_path, old_path)
-    os.rename(tmp_path, postings_path)
-    shutil.rmtree(old_path)
-
-    m = index.manifest
+    old_dirs = list(m.postings_dirs)
+    m.postings_dirs = [new_dir]
     m.metrics["optimized_partitions"] = out_partitions
     m.metrics["layout_strategy"] = strategy
-    m.save(index.path)
+    m.metrics["opt_gen"] = opt_gen
+    m.save(index.path)  # atomic commit
+    for d in old_dirs:
+        shutil.rmtree(os.path.join(index.path, d), ignore_errors=True)
+    # sync the caller's handle: the old directories are gone, so a stale
+    # manifest would point a still-held LoadedIndex at deleted paths
+    caller_manifest.__dict__.update(vars(m))
     return LoadedIndex(index.path, m)
 
 

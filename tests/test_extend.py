@@ -119,3 +119,62 @@ def test_extend_discards_markerless_group(spark, tmp_path):
     assert ext.manifest.n_docs == 60
     assert not os.path.exists(os.path.join(bad, "docs", "part-junk.parquet"))
     _parity(spark, ext, rows, synth_queries(8))
+
+
+def test_extend_is_append_only(spark, tmp_path):
+    """Incremental extend must not rewrite existing postings: the original
+    generation's files are byte-identical afterwards, the new docs land in
+    a fresh generation directory, and results stay rank-identical."""
+    import os
+
+    out = str(tmp_path / "index")
+    rows = synth_corpus(100)
+    index = build_index(spark.createDataFrame(rows[:80], SCHEMA), out, mode="code",
+                        n_splits=8, n_groups=2, block_range=64, out_partitions=4)
+
+    def snapshot(d):
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        }
+
+    before = snapshot(os.path.join(out, "postings"))
+    ext = extend_index(spark, index, spark.createDataFrame(rows[80:], SCHEMA),
+                       out_partitions=4)
+    assert snapshot(os.path.join(out, "postings")) == before  # untouched
+    assert len(ext.manifest.postings_dirs) == 2
+    assert ext.manifest.n_docs == 100
+    # chunk disjointness: no (term, chunk) pair in two generations
+    segs = ext.postings(spark)
+    dup = (
+        segs.groupBy("term", "chunk_id").count().filter("count > 1").count()
+    )
+    assert dup == 0
+    _parity(spark, ext, rows, synth_queries(10))
+
+
+def test_extend_then_optimize_compacts_generations(spark, tmp_path):
+    from flatnav_spark.maintenance import optimize_index, validate_index
+
+    out = str(tmp_path / "index")
+    rows = synth_corpus(90, seed=3)
+    index = build_index(spark.createDataFrame(rows[:60], SCHEMA), out, mode="code",
+                        n_splits=8, n_groups=2, block_range=64, out_partitions=4)
+    ext = extend_index(spark, index, spark.createDataFrame(rows[60:], SCHEMA),
+                       out_partitions=4)
+    assert len(ext.manifest.postings_dirs) == 2
+    queries = synth_queries(8)
+    before = _topk_rows(spark, ext, queries)
+    opt = optimize_index(spark, ext, out_partitions=2)
+    assert len(opt.manifest.postings_dirs) == 1
+    validate_index(spark, opt)
+    assert _topk_rows(spark, opt, queries) == before
+    _parity(spark, opt, rows, queries)
+
+
+def _topk_rows(spark, index, queries, k=10):
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    return sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in batch_query(spark, index, qdf, k=k).collect()
+    )

@@ -96,9 +96,11 @@ def test_optimize_doc_strategy_identical_results(spark, built, tmp_path):
         optimize_index(spark, opt, strategy="zorder")
 
 
-def test_optimize_swap_crash_recovery(spark, built, tmp_path):
-    """Crash between the two swap renames leaves no postings/ dir; the next
-    optimize run must recover the old table and converge."""
+def test_optimize_crash_recovery(spark, built, tmp_path):
+    """Optimize commits by atomic manifest rewrite: a run that died after
+    partially writing its compact output (manifest untouched) leaves the
+    index fully consistent, and a re-run overwrites the dead output and
+    converges."""
     import os
     import shutil
 
@@ -109,12 +111,16 @@ def test_optimize_swap_crash_recovery(spark, built, tmp_path):
     queries = synth_queries(8)
     before = _topk(spark, idx, queries)
 
-    # simulate the worst crash point: postings renamed away, tmp not yet in
-    os.rename(os.path.join(clone, "postings"), os.path.join(clone, "postings__old"))
-    # plus a stale tmp dir from the dead run
-    os.makedirs(os.path.join(clone, "postings__optimizing", "junk"))
+    # dead run's partial output: the dir the next optimize will target
+    next_gen = int(idx.manifest.metrics.get("opt_gen", 0)) + 1
+    dead = os.path.join(clone, f"postings_opt{next_gen}")
+    os.makedirs(os.path.join(dead, "junk"))
 
+    # index still reads fine (manifest never referenced the dead dir) ...
+    assert _topk(spark, load_index(clone), queries) == before
+    # ... and the re-run converges, superseding the dead output
     opt = optimize_index(spark, load_index(clone), out_partitions=2)
     assert _topk(spark, opt, queries) == before
-    assert not os.path.exists(os.path.join(clone, "postings__old"))
-    assert not os.path.exists(os.path.join(clone, "postings__optimizing"))
+    assert opt.manifest.postings_dirs == [f"postings_opt{next_gen}"]
+    assert not os.path.exists(os.path.join(dead, "junk"))
+    validate_index(spark, opt)
