@@ -4,6 +4,7 @@
                                    [--resume] [--block-range 4096] [--splits 64]
     python -m flatnav_spark query  --index <index> --queries <parquet|inline..>
                                    [--k 10] [--no-prune] [--out <parquet>]
+    python -m flatnav_spark extend --index <index> --corpus <parquet>
     python -m flatnav_spark optimize --index <index>
     python -m flatnav_spark info   --index <index>
     python -m flatnav_spark validate --index <index>
@@ -38,6 +39,7 @@ def cmd_build(args) -> int:
         mode=args.mode,
         params=BM25Params(k1=args.k1, b=args.b),
         block_range=args.block_range,
+        chunk_blocks=args.chunk_blocks,
         n_splits=args.splits,
         n_groups=args.groups,
         resume=args.resume,
@@ -84,6 +86,17 @@ def cmd_import(args) -> int:
     return 0
 
 
+def cmd_extend(args) -> int:
+    from flatnav_spark.build import extend_index
+    from flatnav_spark.index_io import load_index
+
+    spark = _spark("flatnav_extend")
+    index = extend_index(spark, load_index(args.index),
+                         spark.read.parquet(args.corpus))
+    print(json.dumps(index.info()))
+    return 0
+
+
 def cmd_optimize(args) -> int:
     from flatnav_spark.index_io import load_index
     from flatnav_spark.maintenance import optimize_index
@@ -122,6 +135,7 @@ def main(argv=None) -> int:
     b.add_argument("--k1", type=float, default=1.2)
     b.add_argument("--b", type=float, default=0.75)
     b.add_argument("--block-range", type=int, default=4096)
+    b.add_argument("--chunk-blocks", type=int, default=16)
     b.add_argument("--splits", type=int, default=64)
     b.add_argument("--groups", type=int, default=8)
     b.add_argument("--resume", action="store_true")
@@ -146,6 +160,11 @@ def main(argv=None) -> int:
     im.add_argument("--block-range", type=int, default=4096)
     im.add_argument("--splits", type=int, default=64)
     im.set_defaults(fn=cmd_import)
+
+    e = sub.add_parser("extend", help="append new documents incrementally (O(new docs))")
+    e.add_argument("--index", required=True)
+    e.add_argument("--corpus", required=True)
+    e.set_defaults(fn=cmd_extend)
 
     o = sub.add_parser("optimize")
     o.add_argument("--index", required=True)
