@@ -68,3 +68,22 @@ def test_compression_effective():
     ids = np.arange(10_000, dtype=np.int64) * 3 + 7
     buf = encode_gaps(ids, 0)
     assert len(buf) < 10_200
+
+
+def test_grouped_prefix_sums_matches_per_group_cumsum():
+    import numpy as np
+
+    from flatnav_spark.query import _grouped_prefix_sums
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n_groups = int(rng.integers(1, 8))
+        counts = rng.integers(1, 9, size=n_groups)
+        values = rng.integers(0, 50, size=int(counts.sum()))
+        starts = np.zeros(n_groups, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        got = _grouped_prefix_sums(values, starts, counts)
+        expected = np.concatenate([
+            np.cumsum(values[s: s + c]) for s, c in zip(starts, counts)
+        ])
+        assert (got == expected).all()
