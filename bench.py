@@ -192,10 +192,18 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
     # parallelism execute the identical logical job — the N vs 4N
     # comparison must vary only the resource count.
     cpu_cores: dict[str, tuple] = {}
+    # chunk_blocks: target ~100 chunks so the query stage keeps 2-4x the
+    # core count in independent work units — a 5k-doc corpus in one
+    # 16-block chunk would score on ONE task (defrag still wins at scale:
+    # 1M docs -> chunk_blocks 10)
+    chunk_blocks = int(os.environ.get(
+        "FLATNAV_BENCH_CHUNK_BLOCKS",
+        str(max(1, min(16, n_docs // (1024 * 96))))
+    ))
     timings["build"], index, busy, steal = _phase_cpu(lambda: build_index(
         corpus, out_dir, mode="code",
         n_splits=int(os.environ.get("FLATNAV_BENCH_SPLITS", "64")), n_groups=2,
-        block_range=1024,
+        block_range=1024, chunk_blocks=chunk_blocks,
         out_partitions=int(os.environ.get("FLATNAV_BENCH_OUT_PARTS", "32")),
     ))
     cpu_cores["build"] = (busy, steal)

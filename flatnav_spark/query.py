@@ -435,8 +435,12 @@ def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
         plan, np.array(qids, dtype=np.int64), m.avgdl, m.params, scorer_name,
         m.block_range, m.chunk_blocks, k, prune, *accs,
     )
+    # RANGE partitioning, not hash: with n_chunks within a small factor of
+    # the task count, hash collisions leave some tasks with 2-4x the
+    # chunks of others; contiguous ranges balance counts (and keep
+    # adjacent chunks together for row-group locality)
     return (
-        postings.repartition(num_partitions, "chunk_id")
+        postings.repartitionByRange(num_partitions, "chunk_id")
         .sortWithinPartitions("chunk_id", "term")
         .mapInPandas(part_scorer, "query_id long, doc_id long, score double")
     )
