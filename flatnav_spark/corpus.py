@@ -301,6 +301,40 @@ def corpus_df(spark, n_docs: int, seed: int = SEED):
     return spark.createDataFrame(synth_corpus(n_docs, seed), schema=schema)
 
 
+def corpus_from_files(spark, root: str, repo: str = "local",
+                      pattern: str = "*", recursive: bool = True):
+    """Raw source files on disk / object store -> corpus DataFrame via
+    Spark's ``binaryFile`` source — the chunked binary-scan analog (S3:
+    reference ``BinaryDatasetLoader.load_data()``, experiments/
+    data_loader.py:128-219, np.memmap chunked reads). Spark's natural
+    chunking replaces memmap: files are split across partitions, read
+    executor-side (no driver I/O), decoded per batch.
+
+    Columns follow the input_hint schema: lang is derived from the file
+    extension, commit from the content sha (a content-addressed stand-in
+    when no VCS metadata exists — stable across re-scans)."""
+    from pyspark.sql import functions as F
+
+    ext_lang = {v: k for k, v in EXT.items()}
+    lang_map = F.create_map(
+        *[F.lit(x) for pair in ext_lang.items() for x in pair]
+    )
+    reader = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    df = reader.load(root)
+    ext = F.element_at(F.split(F.col("path"), "\\."), -1)
+    return df.select(
+        F.lit(repo).alias("repo"),
+        F.regexp_replace(F.col("path"), "^file:/*", "/").alias("path"),
+        F.sha2(F.col("content"), 256).substr(1, 40).alias("commit"),
+        F.coalesce(lang_map[ext], F.lit("unknown")).alias("lang"),
+        F.decode(F.col("content"), "UTF-8").alias("content"),
+    )
+
+
 def documents_as_corpus(spark, sf_dir: str):
     """Adapt the driver's documents.parquet (doc_id, text, lang, source,
     n_chars) to the corpus schema — TESTDATA.md stand-in per FIXTURES.md §1."""

@@ -57,3 +57,33 @@ def test_determinism():
     s = "loadIndexBlock foo_bar baz123 QPSCounter"
     assert tokenize_code(s) == tokenize_code(s)
     assert tokenize_simple(s) == tokenize_simple(s)
+
+
+def test_corpus_from_files_binary_scan(spark, tmp_path):
+    """S3 analog: raw files -> corpus rows through Spark's binaryFile
+    source, then end-to-end through the engine."""
+    import os
+
+    from flatnav_spark.build import build_index
+    from flatnav_spark.corpus import corpus_from_files
+    from flatnav_spark.query import batch_query
+
+    src = tmp_path / "src"
+    os.makedirs(src / "pkg")
+    (src / "pkg" / "a.py").write_text("import os\ndef mergeIndex():\n  return os\n")
+    (src / "pkg" / "b.go").write_text("package main\nfunc mergeIndex() {}\n")
+    (src / "notes.txt").write_text("plain text notes mergeIndex\n")
+
+    corpus = corpus_from_files(spark, str(src))
+    rows = {r.path.split("/")[-1]: r for r in corpus.collect()}
+    assert set(rows) == {"a.py", "b.go", "notes.txt"}
+    assert rows["a.py"].lang == "python"
+    assert rows["b.go"].lang == "go"
+    assert rows["notes.txt"].lang == "unknown"
+    assert len(rows["a.py"].commit) == 40
+
+    idx = build_index(corpus, str(tmp_path / "idx"), mode="code", n_splits=4,
+                      n_groups=1, block_range=16, out_partitions=2)
+    qdf = spark.createDataFrame([(0, "mergeIndex")], "query_id long, query_text string")
+    got = batch_query(spark, idx, qdf, k=5).count()
+    assert got == 3  # every file mentions mergeIndex
