@@ -416,7 +416,7 @@ def _query_terms(spark, index: LoadedIndex, queries_df):
 
 
 def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
-              accs):
+              accs, balance: bool = True):
     """One scoring pass over the postings for a bounded chunk of queries."""
     from pyspark.sql import functions as F
 
@@ -438,11 +438,16 @@ def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
     # RANGE partitioning, not hash: with n_chunks within a small factor of
     # the task count, hash collisions leave some tasks with 2-4x the
     # chunks of others; contiguous ranges balance counts (and keep
-    # adjacent chunks together for row-group locality)
-    return (
+    # adjacent chunks together for row-group locality). The latency path
+    # opts out (balance=False): range partitioning costs a sampling job,
+    # which dominates a single-query round trip.
+    part = (
         postings.repartitionByRange(num_partitions, "chunk_id")
-        .sortWithinPartitions("chunk_id", "term")
-        .mapInPandas(part_scorer, "query_id long, doc_id long, score double")
+        if balance
+        else postings.repartition(num_partitions, "chunk_id")
+    )
+    return part.sortWithinPartitions("chunk_id", "term").mapInPandas(
+        part_scorer, "query_id long, doc_id long, score double"
     )
 
 
@@ -514,7 +519,22 @@ def query_one(spark, index: LoadedIndex, query_text: str, k: int = 10,
               prune: bool = True, scorer: str = "bm25") -> List[Tuple[int, int, float]]:
     """Single-query convenience — the ``searchSingle`` analog
     (bindings.cpp:121-159): returns [(rank, doc_id, score)], collected.
+
+    Latency fast path: skips batch_query's final window (one whole Spark
+    job) by collecting the per-task top-k candidates (≤ k rows per task)
+    and merging driver-side with the identical (score desc, doc_id asc)
+    order — bit-identical to batch_query (tested), two Spark jobs total.
     The latency harness in bench.py times repeated calls of this."""
     qdf = spark.createDataFrame([(0, query_text)], "query_id long, query_text string")
-    rows = batch_query(spark, index, qdf, k=k, prune=prune, scorer=scorer).collect()
-    return sorted((int(r.rank), int(r.doc_id), float(r.score)) for r in rows)
+    get_scorer(scorer)
+    qt_rows = _query_terms(spark, index, qdf).collect()
+    if not qt_rows:
+        return []
+    part = _run_pass(spark, index, qt_rows, k, prune,
+                     spark.sparkContext.defaultParallelism, scorer,
+                     (None,) * 6, balance=False)
+    cand = sorted(
+        ((float(r.score), int(r.doc_id)) for r in part.collect()),
+        key=lambda t: (-t[0], t[1]),
+    )[:k]
+    return [(rank + 1, doc_id, score) for rank, (score, doc_id) in enumerate(cand)]
