@@ -189,3 +189,35 @@ def test_unknown_scorer_rejected(spark, built):
     qdf = spark.createDataFrame([(0, "import")], "query_id long, query_text string")
     with pytest.raises(ValueError, match="unknown scorer"):
         batch_query(spark, index, qdf, scorer="cosine")
+
+
+def test_wand_lossless_and_active_on_skewed_corpus(spark, tmp_path):
+    """On a heavy-tailed (Zipf) corpus WAND must actually prune — and stay
+    lossless. The tame 2k-vocab fixture never exercises the bounds
+    (round-2 VERDICT); this is the regression gate for 'pruning works'."""
+    from flatnav_spark.build import build_index
+    from flatnav_spark.corpus import synth_zipf_corpus
+
+    rows = synth_zipf_corpus(3000, n_terms=20000, median_dl=80)
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    index = build_index(corpus, str(tmp_path / "zidx"), mode="code", n_splits=8,
+                        n_groups=1, block_range=64, chunk_blocks=4,
+                        out_partitions=4)
+    queries = [(i, t) for i, t in enumerate(
+        ["vaaaaaaa0 import", "vbaaaaaa0", "def return self", "vcaaaaaa0 vdaaaaaa0",
+         "parseIndex mergeBuffer", "vaeaaaaa0 class"]
+    )]
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    exact = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in batch_query(spark, index, qdf, k=5, prune=False).collect()
+    )
+    res = batch_query(spark, index, qdf, k=5, prune=True, collect_metrics=True)
+    pruned = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score) for r in res.collect()
+    )
+    assert pruned == exact  # lossless
+    accs = res._flatnav_accumulators
+    assert int(accs["pairs_pruned"].value) > 0  # ...and actually pruning
