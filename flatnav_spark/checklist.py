@@ -712,6 +712,65 @@ def engine_bm25_topk(spark, sf_dir: str):
     return _engine_topk(spark, sf_dir, "bm25")
 
 
+_EXT_CACHE: dict = {}
+
+
+def engine_extend_topk(spark, sf_dir: str):
+    """Incremental-extend parity through the driver oracle: build over the
+    first ~80% of `documents`, extend_index with the rest, query — results
+    must hash-equal the SQL oracle over the FULL corpus (extend semantics
+    == fresh build over the grown corpus, but computed via the append-only
+    O(new docs) generation path, flatnav_spark/build.py)."""
+    from pyspark.sql import functions as F
+
+    from flatnav_spark.build import build_index, extend_index
+
+    key = os.path.abspath(sf_dir)
+    if key not in _EXT_CACHE or not os.path.exists(_EXT_CACHE[key].path):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        cut = int(docs.agg(F.max("doc_id")).collect()[0][0] * 0.8)
+        corpus = docs.select(
+            F.lit("corpus").alias("repo"),
+            F.format_string("doc/%010d.txt", F.col("doc_id")).alias("path"),
+            F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        is_base = F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long") <= cut
+        out = os.path.join(tempfile.mkdtemp(prefix="flatnav_ext_idx_"), "index")
+        idx = build_index(corpus.filter(is_base), out, mode="simple",
+                          n_splits=1, n_groups=1, block_range=256, out_partitions=4)
+        idx = extend_index(spark, idx, corpus.filter(~is_base), out_partitions=4)
+        _EXT_CACHE[key] = idx
+
+    idx = _EXT_CACHE[key]
+    from pyspark.sql import Window
+
+    from flatnav_spark.query import batch_query
+
+    qrows = [(qid, " ".join(terms)) for qid, terms in _BM25_QUERIES]
+    qdf = spark.createDataFrame(qrows, "query_id long, query_text string")
+    res = batch_query(spark, idx, qdf, k=_K + 10, prune=True)
+    src = idx.docs(spark).select(
+        "doc_id",
+        F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long").alias("src_doc_id"),
+    )
+    joined = res.join(src, "doc_id").select("query_id", "src_doc_id", "score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 4)), F.asc("src_doc_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("src_doc_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 def engine_tfidf_topk(spark, sf_dir: str):
     """The second scorer (TF-IDF inner product, the IP-metric analog)
     through the REAL engine against a pure-SQL oracle — proof the
@@ -726,6 +785,7 @@ def build_queries() -> Dict[str, Callable]:
         out[name] = spark_impl if callable(spark_impl) else _make_sql_query(spark_impl, tables)
     out["engine_bm25_topk"] = engine_bm25_topk
     out["engine_tfidf_topk"] = engine_tfidf_topk
+    out["engine_extend_topk"] = engine_extend_topk
     out["lsh_ann_topk"] = lsh_ann_topk
     out["multimodal_decode"] = multimodal_decode
     out["multimodal_features"] = multimodal_features
@@ -738,6 +798,8 @@ def build_oracles() -> Dict[str, str]:
         out[name] = duck_sql
     out["engine_bm25_topk"] = _bm25_sql("duck", with_doc_id=True)
     out["engine_tfidf_topk"] = _tfidf_sql("duck", with_doc_id=True)
+    # extend == fresh-build semantics over the grown corpus: same oracle
+    out["engine_extend_topk"] = _bm25_sql("duck", with_doc_id=True)
     out["multimodal_decode"] = _MULTIMODAL_DECODE_ORACLE
     out["multimodal_features"] = _MULTIMODAL_FEATURES_ORACLE
     from flatnav_spark.simsearch import lsh_duckdb_oracle_sql
