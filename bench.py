@@ -338,6 +338,12 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
             "wand_pair_prune_frac": round(
                 wd_counts["pairs_pruned"]
                 / max(wd_counts["pairs_scored"] + wd_counts["pairs_pruned"], 1), 4),
+            # the round-2 'WAND must earn its keep' gate: on a skewed
+            # (zipf) corpus pruning must fire — also enforced as a pytest
+            # regression (test_wand_lossless_and_active_on_skewed_corpus)
+            "wand_active": bool(
+                wd_counts["segments_pruned"] + wd_counts["pairs_pruned"] > 0
+            ),
         },
         # M3 analog: single-query latency percentiles (ms, 1 query in flight)
         "latency_ms": {
