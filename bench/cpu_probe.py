@@ -31,17 +31,41 @@ def burn(n: int) -> float:
     return s
 
 
-def measure(workers: int, tasks: int = TASKS) -> float:
+_MEM = None
+
+
+def burn_mem(n_pass: int) -> float:
+    """Memory-bandwidth-bound fixed work: repeated whole-array reductions
+    over a 64 MiB per-process buffer (allocated once per worker, so the
+    sandbox's first-touch fault tax is excluded from the timed passes).
+    String-heavy engine phases (tokenize, Arrow transfer, shuffle) are
+    bandwidth-bound, not ALU-bound — this ceiling is the one they see."""
+    global _MEM
+    import numpy as np
+
+    if _MEM is None:
+        _MEM = np.arange(8 * 1024 * 1024, dtype=np.float64)  # 64 MiB
+        float(_MEM.sum())  # fault in
+    s = 0.0
+    for _ in range(n_pass):
+        s += float(_MEM.sum())
+    return s
+
+
+MEM_PASSES = 40
+
+
+def measure(workers: int, tasks: int = TASKS, fn=burn, work: int = WORK) -> float:
     t0 = time.perf_counter()
     with ProcessPoolExecutor(max_workers=workers) as p:
-        list(p.map(burn, [WORK] * tasks))
+        list(p.map(fn, [work] * tasks))
     return time.perf_counter() - t0
 
 
-def probe(repeats: int = 3) -> dict:
+def probe(repeats: int = 3, fn=burn, work: int = WORK) -> dict:
     best = {}
     for w in (1, N_SMALL, N_LARGE):
-        best[w] = min(measure(w) for _ in range(repeats))
+        best[w] = min(measure(w, fn=fn, work=work) for _ in range(repeats))
     eff_n = (best[1] / best[N_SMALL]) / N_SMALL
     eff_4n = (best[N_SMALL] / best[N_LARGE]) / (N_LARGE / N_SMALL)
     return {
@@ -53,5 +77,11 @@ def probe(repeats: int = 3) -> dict:
     }
 
 
+def probe_membw(repeats: int = 3) -> dict:
+    return probe(repeats, fn=burn_mem, work=MEM_PASSES)
+
+
 if __name__ == "__main__":
-    print(json.dumps(probe(int(sys.argv[1]) if len(sys.argv) > 1 else 3)))
+    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    out = {"cpu": probe(repeats), "membw": probe_membw(repeats)}
+    print(json.dumps(out))
