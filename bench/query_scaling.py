@@ -43,11 +43,12 @@ qdf = spark.createDataFrame(queries, "query_id long, query_text string")
 batch_query(spark, index, qdf.limit(8), k=10).count()  # warm-up
 
 out = {{}}
-tfmap = make_tfmap_udf("code")
-w, _, b, s = _phase_cpu(lambda: corpus.withColumn("m", tfmap(F.col("content")))
-                        .select(F.explode("m").alias("t", "f"))
-                        .agg(F.count(F.lit(1)), F.sum("f")).collect())
-out["tokenize_compute"] = (w, b, s)
+if os.environ.get("FLATNAV_QSCALE_SKIP_TOKENIZE", "") != "1":
+    tfmap = make_tfmap_udf("code")
+    w, _, b, s = _phase_cpu(lambda: corpus.withColumn("m", tfmap(F.col("content")))
+                            .select(F.explode("m").alias("t", "f"))
+                            .agg(F.count(F.lit(1)), F.sum("f")).collect())
+    out["tokenize_compute"] = (w, b, s)
 w, _, b, s = _phase_cpu(lambda: batch_query(spark, index, qdf, k=10, prune=False).count())
 out["query_batch"] = (w, b, s)
 w, _, b, s = _phase_cpu(lambda: batch_query(spark, index, qdf, k=10, prune=True).count())
@@ -92,7 +93,9 @@ def main():
     lines = ["", "## Read-path + compute scaling (one persisted index, fresh JVMs, interleaved min-of-%d)" % repeats, ""]
     lines.append("| phase | T@N=8 (s) | T@4N=32 (s) | busy cores @8/@32 | scaling eff |")
     lines.append("|---|---|---|---|---|")
-    for phase in ("tokenize_compute", "query_batch", "query_batch_wand"):
+    phases = [p for p in ("tokenize_compute", "query_batch", "query_batch_wand")
+              if p in runs[8][0]]
+    for phase in phases:
         t8 = min(r[phase][0] for r in runs[8])
         t32 = min(r[phase][0] for r in runs[32])
         b8 = max(r[phase][1] for r in runs[8])
