@@ -20,12 +20,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cpus: int, sf_dir: str, n_queries: int) -> dict:
+def run_at(cpus: int, sf_dir: str, n_queries: int, tag: str = "") -> dict:
+    # bench.py prints a compact driver-parseable headline and writes the
+    # full result (3-grain counters, index info) to FLATNAV_BENCH_FULL_OUT;
+    # the scaling harness keeps every full artifact under BENCH/raw/
+    full_out = os.path.join(REPO, "BENCH", "raw", f"scaling_N{cpus}_{tag}.json")
+    os.makedirs(os.path.dirname(full_out), exist_ok=True)
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         FLATNAV_BENCH_QUERIES=str(n_queries),
+        FLATNAV_BENCH_FULL_OUT=full_out,
         # a deterministic code corpus large enough that per-task compute,
         # not per-action driver overhead, dominates (FIXTURES.md §5 scaled
         # up 4x for the same reason the reference benchmarks at 1M+ points)
@@ -36,7 +42,12 @@ def run_at(cpus: int, sf_dir: str, n_queries: int) -> dict:
         env=env, capture_output=True, text=True, check=True, cwd=REPO,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    head = json.loads(line)
+    try:
+        with open(full_out) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return head
 
 
 def main():
@@ -59,17 +70,23 @@ def main():
     # both configs equally; min per phase over repeats — the sandbox host
     # shows multi-second interference spikes, minima estimate capacity.
     runs_small, runs_large = [], []
-    for _ in range(repeats):
-        runs_small.append(run_at(n_small, sf_dir, n_queries))
-        runs_large.append(run_at(n_large, sf_dir, n_queries))
+    for i in range(repeats):
+        runs_small.append(run_at(n_small, sf_dir, n_queries, tag=f"run{i}"))
+        runs_large.append(run_at(n_large, sf_dir, n_queries, tag=f"run{i}"))
 
     def best_of(runs) -> dict:
+        # EVERY derived throughput is recomputed from the per-phase minima
+        # (round-3 VERDICT #4: qps_wand was left stale from run 0, so the
+        # raw artifact contradicted the table built from the minima)
         best = dict(runs[0])
         best["queries"] = {
             phase: min(r["queries"][phase] for r in runs) for phase in runs[0]["queries"]
         }
         best["files_per_sec"] = round(best["n_docs"] / best["queries"]["build"], 2)
         best["qps"] = round(best["n_queries"] / best["queries"]["query_batch"], 2)
+        if "query_batch_wand" in best["queries"]:
+            best["qps_wand"] = round(
+                best["n_queries"] / best["queries"]["query_batch_wand"], 2)
         best["all_runs"] = [r["queries"] for r in runs]
         return best
 
@@ -101,8 +118,11 @@ def main():
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "w") as f:
+        corpus_spec = r_large.get("corpus", "documents")
+        corpus_label = (f"corpus `{corpus_spec}`" if corpus_spec != "documents"
+                        else f"`{sf_dir}` documents")
         f.write("# BENCH/BASELINE — measured throughput & N→4N scaling\n\n")
-        f.write(f"Input: `{sf_dir}` ({r_large['n_docs']} files), "
+        f.write(f"Input: {corpus_label} ({r_large['n_docs']} docs), "
                 f"{n_queries} queries, k={r_large['k']}, "
                 f"tokenizer=code, block_range=1024.\n")
         f.write(f"Protocol: identical job at local[{n_small}] (N) and "

@@ -158,6 +158,7 @@ def _make_partition_scorer(
     acc_segments_pruned=None,
     acc_pairs_scored=None,
     acc_pairs_pruned=None,
+    seed_thr: Optional[np.ndarray] = None,
 ):
     """mapInPandas kernel over a chunk_id-partitioned, (chunk_id, term)-
     sorted stream of CHUNKED posting segments (one row per (term, chunk of
@@ -178,13 +179,28 @@ def _make_partition_scorer(
 
     WAND is counted at three grains (the M4 distance-computations analog):
     whole blocks, sub-runs ("segments" — the old (term, block) decode
-    unit), and (query, block) pairs."""
+    unit), and (query, block) pairs.
+
+    ``seed_thr`` (round-3 VERDICT #6) pre-loads each query's threshold
+    with a GLOBAL lower bound on its final k-th score (the k-th score
+    attained on a prefix of chunks, measured by a cheap pre-pass). Without
+    it thresholds are task-local and start at -inf, so pruning decays as
+    tasks multiply (each task's top-k fills later — prune frac 0.29 at 8
+    tasks -> 0.08 at 32 on zipf:1M, -> ~0 at cluster scale). A seeded
+    threshold is parallelism-independent: every task prunes from its first
+    block. Lossless: the final k-th score is >= any attained k-th score,
+    and pruning only skips bounds STRICTLY below the threshold, so
+    score-ties (which can still enter top-k via the doc_id tie-break)
+    survive. Thresholds only grow: task-local updates take max() with the
+    seed."""
     n_q = len(query_ids)
     scorer = get_scorer(scorer_name)
 
     def score_partition(batches):
         topk = [_TopK(k) for _ in range(n_q)]
-        thr = np.full(n_q, -np.inf)  # per-query k-th score lower bound
+        # per-query k-th score lower bound (global seed, then grown locally)
+        thr = (seed_thr.astype(np.float64, copy=True) if seed_thr is not None
+               else np.full(n_q, -np.inf))
         n_scored = 0
         n_pruned = 0
         n_seg_scored = 0
@@ -194,7 +210,7 @@ def _make_partition_scorer(
         # finest-grain honest measure: in batch mode a block is rarely
         # skippable for EVERY query at once, but per-query column pruning
         # still saves the decode/accumulate/top-k work
-        any_full = False  # becomes True once some top-k fills -> bounds can prune
+        any_full = bool(np.isfinite(thr).any())  # any bound -> pruning can fire
 
         def do_chunk(pdf: pd.DataFrame) -> None:
             nonlocal n_scored, n_pruned, n_seg_scored, n_seg_pruned, any_full
@@ -341,7 +357,11 @@ def _make_partition_scorer(
                     new_thr = t.threshold()
                     if new_thr != -np.inf:
                         any_full = True
-                    thr[q_idx] = new_thr
+                    # grow-only: never let a task-local k-th (e.g. right
+                    # after this task's top-k first fills) undercut the
+                    # global seed threshold
+                    if new_thr > thr[q_idx]:
+                        thr[q_idx] = new_thr
 
         carry: Optional[pd.DataFrame] = None
         for batch in batches:
@@ -416,8 +436,13 @@ def _query_terms(spark, index: LoadedIndex, queries_df):
 
 
 def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
-              accs, balance: bool = True):
-    """One scoring pass over the postings for a bounded chunk of queries."""
+              accs, balance: bool = True, chunk_lt: Optional[int] = None,
+              seed_thr_by_qid: Optional[Dict[int, float]] = None):
+    """One scoring pass over the postings for a bounded chunk of queries.
+
+    ``chunk_lt`` restricts the pass to chunks [0, chunk_lt) — the seed
+    pre-pass mode. ``seed_thr_by_qid`` maps query_id -> global threshold
+    lower bound to start every task at (see _make_partition_scorer)."""
     from pyspark.sql import functions as F
 
     m = index.manifest
@@ -431,9 +456,16 @@ def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
     plan = _QueryPlan(qmap)
 
     postings = index.postings(spark).filter(F.col("term").isin(plan.terms))
+    if chunk_lt is not None:
+        postings = postings.filter(F.col("chunk_id") < chunk_lt)
+        num_partitions = max(1, min(num_partitions, chunk_lt))
+    seed_thr = None
+    if seed_thr_by_qid:
+        seed_thr = np.array(
+            [seed_thr_by_qid.get(q, -np.inf) for q in qids], dtype=np.float64)
     part_scorer = _make_partition_scorer(
         plan, np.array(qids, dtype=np.int64), m.avgdl, m.params, scorer_name,
-        m.block_range, m.chunk_blocks, k, prune, *accs,
+        m.block_range, m.chunk_blocks, k, prune, *accs, seed_thr=seed_thr,
     )
     # RANGE partitioning, not hash: with n_chunks within a small factor of
     # the task count, hash collisions leave some tasks with 2-4x the
@@ -451,6 +483,40 @@ def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
     )
 
 
+SEED_MIN_CHUNKS = 8   # below this a seed pre-pass costs more than it saves
+SEED_PREFIX_DIV = 32  # seed prefix = n_chunks // 32 chunks (>= 1): ~3% scan
+
+
+def _seed_thresholds(spark, index, qt_rows, k, num_partitions, scorer_name,
+                     accs) -> Optional[Dict[int, float]]:
+    """Cheap global WAND seed (round-3 VERDICT #6): score a small PREFIX of
+    chunks for the whole query batch and return each query's attained k-th
+    score — a parallelism-independent lower bound on its final k-th score,
+    broadcast (via the scorer closure) as every task's starting threshold.
+    Doc ids are hash-assigned, so a doc-id prefix is an unbiased corpus
+    sample and its k-th score sits close to the global one. Cost: one
+    narrow job over ~1/SEED_PREFIX_DIV of the postings; its scored/pruned
+    work is counted in the same accumulators (the seed is not free and the
+    metrics say so)."""
+    m = index.manifest
+    span = m.block_range * m.chunk_blocks
+    n_chunks = max(1, -(-m.n_docs // span))
+    if n_chunks < SEED_MIN_CHUNKS:
+        return None
+    s = max(1, n_chunks // SEED_PREFIX_DIV)
+    part = _run_pass(spark, index, qt_rows, k, True, num_partitions,
+                     scorer_name, accs, chunk_lt=s)
+    by_q: Dict[int, List[float]] = {}
+    for r in part.collect():  # <= k rows per query per task, tasks <= s
+        by_q.setdefault(int(r.query_id), []).append(float(r.score))
+    out = {}
+    for q, scores in by_q.items():
+        if len(scores) >= k:
+            scores.sort(reverse=True)
+            out[q] = scores[k - 1]
+    return out or None
+
+
 def batch_query(
     spark,
     index: LoadedIndex,
@@ -461,6 +527,7 @@ def batch_query(
     collect_metrics: bool = False,
     scorer: str = "bm25",
     max_queries_per_pass: int = DEFAULT_MAX_QUERIES_PER_PASS,
+    seed_thresholds: bool = True,
 ):
     """Top-k for a DataFrame of (query_id, query_text) under the chosen
     scorer ("bm25" or "tfidf_ip").
@@ -469,7 +536,9 @@ def batch_query(
     ties by ascending doc_id. Queries with no indexed terms return no rows.
     Query batches larger than ``max_queries_per_pass`` are chunked into
     independent passes (unioned before the final top-k window), bounding
-    executor memory regardless of batch size.
+    executor memory regardless of batch size. With ``prune`` a chunk-prefix
+    pre-pass seeds global WAND thresholds (see _seed_thresholds); disable
+    with ``seed_thresholds=False`` to get task-local-only pruning.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -493,8 +562,12 @@ def batch_query(
     for lo in range(0, len(all_qids), max_queries_per_pass):
         chunk = set(all_qids[lo: lo + max_queries_per_pass])
         rows = [r for r in qt_rows if r["query_id"] in chunk]
+        seeds = (
+            _seed_thresholds(spark, index, rows, k, num_partitions, scorer, accs)
+            if prune and seed_thresholds else None
+        )
         part = _run_pass(spark, index, rows, k, prune, num_partitions, scorer,
-                         accs)
+                         accs, seed_thr_by_qid=seeds)
         cand = part if cand is None else cand.unionByName(part)
 
     w_final = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
