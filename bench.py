@@ -215,11 +215,16 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
         "FLATNAV_BENCH_CHUNK_BLOCKS",
         str(max(1, min(16, n_docs // (1024 * 96))))
     ))
+    # out_partitions: "auto" (default) lets _stage2 size the merge shuffle
+    # by DATA volume (~8k docs/task) — the same value at every parallelism,
+    # so N vs 4N still runs the identical logical job (round-4 fix: a
+    # core-count-sized merge spilled at 1M x local[32] and anti-scaled)
+    out_parts_env = os.environ.get("FLATNAV_BENCH_OUT_PARTS", "auto")
     timings["build"], index, busy, steal = _phase_cpu(lambda: build_index(
         corpus, out_dir, mode="code",
         n_splits=int(os.environ.get("FLATNAV_BENCH_SPLITS", "64")), n_groups=2,
         block_range=1024, chunk_blocks=chunk_blocks,
-        out_partitions=int(os.environ.get("FLATNAV_BENCH_OUT_PARTS", "32")),
+        out_partitions=None if out_parts_env == "auto" else int(out_parts_env),
     ))
     cpu_cores["build"] = (busy, steal)
 

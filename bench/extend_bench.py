@@ -45,11 +45,11 @@ def main():
 
     t0 = time.perf_counter()
     index = build_index(base, out, mode="code", n_splits=64, n_groups=2,
-                        block_range=1024, out_partitions=max(cpus, 8))
+                        block_range=1024, out_partitions=None)
     t_build = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    ext_idx = extend_index(spark, index, ext, out_partitions=max(cpus, 8))
+    ext_idx = extend_index(spark, index, ext, out_partitions=None)
     t_extend = time.perf_counter() - t0
     assert ext_idx.manifest.n_docs == n_base + n_ext
 

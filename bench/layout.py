@@ -43,7 +43,7 @@ def main():
     corpus = _get_corpus(spark, sf_dir, corpus_spec)
     index = build_index(corpus, out_dir, mode="code",
                         n_splits=max(cpus * 2, 16), n_groups=2,
-                        block_range=1024, out_partitions=max(cpus, 8))
+                        block_range=1024, out_partitions=None)
     queries = make_query_set(spark, index, n_queries)
     qdf = spark.createDataFrame(queries, "query_id long, query_text string")
 

@@ -79,7 +79,7 @@ def main():
         spark = get_spark("qscale_build", cores=32)
         corpus = _get_corpus(spark, "", corpus_spec)
         build_index(corpus, index_path, mode="code", n_splits=64, n_groups=2,
-                    block_range=1024, out_partitions=32)
+                    block_range=1024, out_partitions=None)
         spark.stop()
 
     script = WORKER.format(repo=REPO, index=index_path, corpus=corpus_spec,

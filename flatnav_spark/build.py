@@ -497,6 +497,22 @@ def build_index(
                    out_partitions, cfg_hash, chunk_blocks)
 
 
+def _auto_out_partitions(spark, n_docs: int) -> int:
+    """Merge-shuffle partition count sized to DATA VOLUME, never to core
+    count — the round-3 anti-scaling fix. The stage-2 merge sorts the
+    exploded (term, chunk_id, doc_id) rows inside each reduce task; with
+    partitions == cores, per-task sort footprint GROWS with the corpus
+    while the per-task execution-memory share SHRINKS with parallelism —
+    at zipf:1M x local[32] that crossed into external-sort spill + GC
+    thrash and the build ran 1.9x SLOWER than at local[8] while burning 5x
+    the CPU-seconds (bench/build_phases.py, BENCH/BASELINE.md round 4).
+    ~8k docs (~2M posting rows at a few hundred distinct terms/doc) per
+    task keeps every sort in memory at any parallelism: measured 3.4x
+    faster at N32, no harm at N8. More, smaller tasks also ride AQE
+    coalescing and stragglers better at cluster scale."""
+    return max(spark.sparkContext.defaultParallelism, 8, n_docs // 8192)
+
+
 def _stage2(spark, out_path, mode, params, block_range, n_splits,
             out_partitions, cfg_hash, chunk_blocks=DEFAULT_CHUNK_BLOCKS) -> LoadedIndex:
     """Term-keyed merge of all stage-1 runs into the final index tables.
@@ -540,7 +556,9 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     ).withColumn("tf", F.col("tf").cast("long"))
 
     if out_partitions is None:
-        out_partitions = max(spark.sparkContext.defaultParallelism, 8)
+        out_partitions = _auto_out_partitions(
+            spark, sum(int(meta.get("n_docs", 0)) for _g, meta in
+                       _complete_groups(out_path)))
 
     # ---- stage 2a: chunked block-summary posting segments (THE shuffle) ----
     seg_schema = T.StructType(
@@ -906,7 +924,10 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
     ).withColumn("tf", F.col("tf").cast("long"))
 
     if out_partitions is None:
-        out_partitions = max(spark.sparkContext.defaultParallelism, 8)
+        # sized to the NEW docs only — the generation is the unit of work
+        metas = dict(_complete_groups(out_path))
+        out_partitions = _auto_out_partitions(
+            spark, sum(int(metas.get(g, {}).get("n_docs", 0)) for g in pending))
 
     seg_schema = T.StructType(
         [
