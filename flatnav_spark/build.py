@@ -292,6 +292,7 @@ def _make_segment_encoder(block_range: int, chunk_blocks: int):
             ("dls_bin", pa.binary()),
             ("sum_tf", pa.int64()),
             ("payload_len", pa.int64()),
+            ("max_dl", pa.int64()),
         ]
     )
 
@@ -325,6 +326,10 @@ def _make_segment_encoder(block_range: int, chunk_blocks: int):
         run_maxtf = np.maximum.reduceat(tfs, run_starts)
         run_mindl = np.minimum.reduceat(dls, run_starts)
         sum_tf = np.add.reduceat(tfs, g_starts)
+        # per-SEGMENT max dl: with the segment's posting count n it yields
+        # the per-term WAND floor statistic (stats floor_dl10/floor_dl100:
+        # "k docs of this term exist with dl <= X") — query.py round 4
+        seg_max_dl = np.maximum.reduceat(dls, g_starts)
         run_group = np.searchsorted(g_starts, run_starts, side="right") - 1
         runs_per_group = np.bincount(run_group, minlength=len(g_starts)).astype(np.int64)
         run_off = np.zeros(len(g_starts) + 1, dtype=np.int64)
@@ -353,6 +358,7 @@ def _make_segment_encoder(block_range: int, chunk_blocks: int):
                 pa.array(dls_bin, type=pa.binary()),
                 pa.array(sum_tf),
                 pa.array(payload_len),
+                pa.array(seg_max_dl),
             ],
             schema=out_schema,
         )
@@ -575,6 +581,7 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
             T.StructField("dls_bin", T.BinaryType(), False),
             T.StructField("sum_tf", T.LongType(), False),
             T.StructField("payload_len", T.LongType(), False),
+            T.StructField("max_dl", T.LongType(), False),
         ]
     )
     encode = _make_segment_encoder(block_range, chunk_blocks)
@@ -608,6 +615,12 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     term_stats = seg_df.groupBy("term").agg(
         F.sum("n").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),
+        # WAND floor statistics: a segment with n >= K proves K docs of
+        # the term exist with dl <= its max_dl, so w * tfn(1, floor_dlK)
+        # lower-bounds the term's k-th-best contribution for k <= K —
+        # the query path's zero-cost parallelism-independent threshold
+        F.min(F.when(F.col("n") >= 10, F.col("max_dl"))).alias("floor_dl10"),
+        F.min(F.when(F.col("n") >= 100, F.col("max_dl"))).alias("floor_dl100"),
     )
     (
         term_stats.repartitionByRange(max(out_partitions // 4, 1), "term")
@@ -632,7 +645,8 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
         .sortWithinPartitions("doc_id")
         .observe(docs_obs,  # above the exchange: see skew_obs note
                  F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("dl").alias("total_dl"))
+                 F.sum("dl").alias("total_dl"),
+                 F.max("dl").alias("max_dl"))
         .write.mode("overwrite")
         .parquet(os.path.join(out_path, d_dir))
     )
@@ -664,6 +678,9 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
                 if skew_vals["mean_df"]
                 else 0.0
             ),
+            # longest document in the corpus: the query path derives its
+            # zero-cost WAND floor w * tfn(1, max_dl) from it (query.py)
+            "max_dl": int(docs_vals["max_dl"] or 0),
             "build_gen": build_gen,
         },
         lineage=lineage,
@@ -943,6 +960,7 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
             T.StructField("dls_bin", T.BinaryType(), False),
             T.StructField("sum_tf", T.LongType(), False),
             T.StructField("payload_len", T.LongType(), False),
+            T.StructField("max_dl", T.LongType(), False),
         ]
     )
     encode = _make_segment_encoder(m.block_range, m.chunk_blocks)
@@ -973,8 +991,13 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
     new_stats = seg_df.groupBy("term").agg(
         F.sum("n").cast("long").alias("df_new"),
         F.sum("sum_tf").cast("long").alias("cf_new"),
+        F.min(F.when(F.col("n") >= 10, F.col("max_dl"))).alias("f10_new"),
+        F.min(F.when(F.col("n") >= 100, F.col("max_dl"))).alias("f100_new"),
     )
     old_stats = spark.read.parquet(os.path.join(out_path, m.stats_dir))
+    for c in ("floor_dl10", "floor_dl100"):  # legacy stats: treat as absent
+        if c not in old_stats.columns:
+            old_stats = old_stats.withColumn(c, F.lit(None).cast("long"))
     skew_obs = Observation()
     merged = (
         old_stats.join(new_stats, "term", "full_outer")
@@ -984,6 +1007,10 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
             .cast("long").alias("df"),
             (F.coalesce(F.col("cf"), F.lit(0)) + F.coalesce(F.col("cf_new"), F.lit(0)))
             .cast("long").alias("cf"),
+            # least() skips nulls: the floor stays the tightest proven
+            # bound across generations
+            F.least("floor_dl10", "f10_new").alias("floor_dl10"),
+            F.least("floor_dl100", "f100_new").alias("floor_dl100"),
         )
     )
     (
@@ -1005,7 +1032,8 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
         .sortWithinPartitions("doc_id")
         .observe(docs_obs,  # above the exchange: see _stage2 note
                  F.count(F.lit(1)).alias("n"),
-                 F.sum("dl").alias("dl"))
+                 F.sum("dl").alias("dl"),
+                 F.max("dl").alias("max_dl"))
         .write.mode("overwrite")
         .parquet(os.path.join(out_path, gen_docs))
     )
@@ -1025,6 +1053,8 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
     m.metrics["skew_ratio_max_df_over_mean"] = (
         float(skew_row["max_df"]) / float(skew_row["mean_df"]) if skew_row["mean_df"] else 0.0
     )
+    m.metrics["max_dl"] = max(int(m.metrics.get("max_dl", 0)),
+                              int(drow["max_dl"] or 0))
     m.postings_dirs = list(m.postings_dirs) + [gen_postings]
     m.docs_dirs = list(m.docs_dirs) + [gen_docs]
     m.stats_dir = gen_stats

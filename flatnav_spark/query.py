@@ -432,7 +432,59 @@ def _query_terms(spark, index: LoadedIndex, queries_df):
         .distinct()
     )
     stats = index.term_stats(spark)
-    return stats.join(F.broadcast(q_terms), "term").select("query_id", "term", "df")
+    cols = ["query_id", "term", "df"] + [
+        c for c in ("floor_dl10", "floor_dl100") if c in stats.columns
+    ]
+    return stats.join(F.broadcast(q_terms), "term").select(*cols)
+
+
+def _score_floor_by_qid(qt_rows, m, scorer, k: int) -> Dict[int, float]:
+    """Zero-cost global WAND floor (round 4): a query term with df >= k
+    guarantees at least k documents each scoring >= w * tfn(tf=1, max_dl)
+    (per-term contributions are nonnegative), so that value lower-bounds
+    the query's final k-th score — a parallelism-independent threshold
+    available to EVERY task with no pre-pass job. It prunes the classic
+    WAND case: blocks holding only a low-weight (hot) term of a query
+    that also carries a high-idf term. Deflated 1e-9 relative so a float
+    summation-order difference can never flip a skip decision.
+
+    Honest measurement (zipf:1M, k=10): the floor reaches ~12% of the true
+    k-th score at the median — enough to keep some pruning alive at any
+    task count, not enough to match task-local thresholds once they fill
+    (seg prune frac 0.34 at 8 tasks vs 0.10 at 32 either way). The
+    sampling pre-pass alternative measured net-negative (_seed_thresholds
+    docstring); threshold REUSE across batches (seed_thr_by_qid) is the
+    scale path for standing query services."""
+    max_dl = int(m.metrics.get("max_dl", 0) or 0)
+    fields = set(qt_rows[0].__fields__) if qt_rows else set()
+    use10 = k <= 10 and "floor_dl10" in fields
+    use100 = k <= 100 and "floor_dl100" in fields
+
+    def tfn1(dl: int) -> float:
+        return float(scorer.tfn(np.array([1]), np.array([dl]),
+                                m.avgdl, m.params)[0])
+
+    out: Dict[int, float] = {}
+    for r in qt_rows:
+        # tightest proven dl first: a term whose stats show a segment
+        # with >= k postings has k docs with dl <= floor_dlK (shorter
+        # than the global longest doc; only hot terms qualify — measured
+        # floor/true-kth ~0.12 on zipf:1M, so the floor prunes tails, not
+        # the bulk; batch-reuse seeding via seed_thr_by_qid is the tool
+        # for services that can amortize thresholds across batches)
+        if use10 and r["floor_dl10"] is not None:
+            dl_eff = int(r["floor_dl10"])
+        elif use100 and r["floor_dl100"] is not None:
+            dl_eff = int(r["floor_dl100"])
+        elif max_dl > 0 and int(r["df"]) >= k:
+            dl_eff = max_dl
+        else:
+            continue
+        b = scorer.weight(int(r["df"]), m.n_docs) * tfn1(dl_eff) * (1.0 - 1e-9)
+        q = int(r["query_id"])
+        if b > out.get(q, -np.inf):
+            out[q] = b
+    return out
 
 
 def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
@@ -463,6 +515,12 @@ def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
     if seed_thr_by_qid:
         seed_thr = np.array(
             [seed_thr_by_qid.get(q, -np.inf) for q in qids], dtype=np.float64)
+    if prune:
+        floor = _score_floor_by_qid(qt_rows, m, scorer, k)
+        if floor:
+            f_arr = np.array([floor.get(q, -np.inf) for q in qids],
+                             dtype=np.float64)
+            seed_thr = f_arr if seed_thr is None else np.maximum(seed_thr, f_arr)
     part_scorer = _make_partition_scorer(
         plan, np.array(qids, dtype=np.int64), m.avgdl, m.params, scorer_name,
         m.block_range, m.chunk_blocks, k, prune, *accs, seed_thr=seed_thr,
@@ -504,8 +562,11 @@ def _seed_thresholds(spark, index, qt_rows, k, num_partitions, scorer_name,
     if n_chunks < SEED_MIN_CHUNKS:
         return None
     s = max(1, n_chunks // SEED_PREFIX_DIV)
+    # balance=False: repartitionByRange would add a whole sampling scan of
+    # the filtered postings — for a handful of prefix chunks, hash
+    # partitioning is equivalent and the pre-pass stays a single scan
     part = _run_pass(spark, index, qt_rows, k, True, num_partitions,
-                     scorer_name, accs, chunk_lt=s)
+                     scorer_name, accs, chunk_lt=s, balance=False)
     by_q: Dict[int, List[float]] = {}
     for r in part.collect():  # <= k rows per query per task, tasks <= s
         by_q.setdefault(int(r.query_id), []).append(float(r.score))
@@ -527,7 +588,7 @@ def batch_query(
     collect_metrics: bool = False,
     scorer: str = "bm25",
     max_queries_per_pass: int = DEFAULT_MAX_QUERIES_PER_PASS,
-    seed_thresholds: bool = True,
+    seed_thresholds: bool = False,
 ):
     """Top-k for a DataFrame of (query_id, query_text) under the chosen
     scorer ("bm25" or "tfidf_ip").
@@ -536,9 +597,15 @@ def batch_query(
     ties by ascending doc_id. Queries with no indexed terms return no rows.
     Query batches larger than ``max_queries_per_pass`` are chunked into
     independent passes (unioned before the final top-k window), bounding
-    executor memory regardless of batch size. With ``prune`` a chunk-prefix
-    pre-pass seeds global WAND thresholds (see _seed_thresholds); disable
-    with ``seed_thresholds=False`` to get task-local-only pruning.
+    executor memory regardless of batch size.
+
+    With ``prune`` every task starts from the zero-cost analytic floor
+    (_score_floor_by_qid). ``seed_thresholds=True`` additionally runs the
+    chunk-prefix sampling pre-pass (_seed_thresholds) — measured NET
+    NEGATIVE on zipf:1M at k=10 (a 3%-sample k-th is a weak bound and the
+    extra scan costs more than the pruning it buys: +3.5s at N8 for +0.00
+    seg prune frac, +5s at N32 for +0.04), so it defaults off; it can pay
+    off for large k or very selective workloads.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
