@@ -64,15 +64,35 @@ def main():
     sys.path.insert(0, os.path.join(REPO, "bench"))
     from cpu_probe import probe
 
-    ceiling = probe(repeats=2)
+    raw_dir = os.path.join(REPO, "BENCH", "raw")
+    ceiling_path = os.path.join(raw_dir, "ceiling.json")
+    if "--summarize" in sys.argv:
+        # rebuild BASELINE.md from existing BENCH/raw artifacts — used to
+        # fold in extra interleaved repeats (e.g. after a steal-window
+        # contaminated run) without redoing the whole harness
+        import glob
 
-    # INTERLEAVED A/B pairs (N8, N32, N8, N32, ...) so slow host drift hits
-    # both configs equally; min per phase over repeats — the sandbox host
-    # shows multi-second interference spikes, minima estimate capacity.
-    runs_small, runs_large = [], []
-    for i in range(repeats):
-        runs_small.append(run_at(n_small, sf_dir, n_queries, tag=f"run{i}"))
-        runs_large.append(run_at(n_large, sf_dir, n_queries, tag=f"run{i}"))
+        with open(ceiling_path) as f:
+            ceiling = json.load(f)
+        runs_small = [json.load(open(f)) for f in
+                      sorted(glob.glob(os.path.join(raw_dir, "scaling_N8_run*.json")))]
+        runs_large = [json.load(open(f)) for f in
+                      sorted(glob.glob(os.path.join(raw_dir, "scaling_N32_run*.json")))]
+        repeats = max(len(runs_small), len(runs_large))
+    else:
+        ceiling = probe(repeats=2)
+        os.makedirs(raw_dir, exist_ok=True)
+        with open(ceiling_path, "w") as f:
+            json.dump(ceiling, f)
+
+        # INTERLEAVED A/B pairs (N8, N32, N8, N32, ...) so slow host drift
+        # hits both configs equally; min per phase over repeats — the
+        # sandbox host shows multi-second interference spikes, minima
+        # estimate capacity.
+        runs_small, runs_large = [], []
+        for i in range(repeats):
+            runs_small.append(run_at(n_small, sf_dir, n_queries, tag=f"run{i}"))
+            runs_large.append(run_at(n_large, sf_dir, n_queries, tag=f"run{i}"))
 
     def best_of(runs) -> dict:
         # EVERY derived throughput is recomputed from the per-phase minima
