@@ -221,3 +221,32 @@ def test_wand_lossless_and_active_on_skewed_corpus(spark, tmp_path):
     assert pruned == exact  # lossless
     accs = res._flatnav_accumulators
     assert int(accs["pairs_pruned"].value) > 0  # ...and actually pruning
+
+
+def test_wand_floor_is_valid_lower_bound(spark, built):
+    """The analytic WAND floor (round 4) must NEVER exceed a query's true
+    k-th score — otherwise pruning would be lossy. Checks every fixture
+    query against the engine's exact (prune=False) results, and that the
+    index actually carries the floor statistics."""
+    from flatnav_spark.query import _query_terms, _score_floor_by_qid
+    from flatnav_spark.scorer import get_scorer
+
+    index, _corpus = built
+    assert int(index.manifest.metrics.get("max_dl", 0)) > 0
+    stats_cols = index.term_stats(spark).columns
+    assert "floor_dl10" in stats_cols and "floor_dl100" in stats_cols
+
+    queries = synth_queries(N_QUERIES)
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    qt_rows = _query_terms(spark, index, qdf).collect()
+    floors = _score_floor_by_qid(qt_rows, index.manifest, get_scorer("bm25"), K)
+    assert floors, "floor should exist for at least one query"
+
+    exact = batch_query(spark, index, qdf, k=K, prune=False).collect()
+    kth = {r.query_id: r.score for r in exact if r.rank == K}
+    checked = 0
+    for q, fl in floors.items():
+        if q in kth:  # queries with >= K results have a true k-th score
+            assert fl <= kth[q], f"floor {fl} exceeds true k-th {kth[q]} for query {q}"
+            checked += 1
+    assert checked >= 5
