@@ -103,6 +103,27 @@ class LoadedIndex:
     def __init__(self, path: str, manifest: IndexManifest):
         self.path = path
         self.manifest = manifest
+        self._stats_cache = None  # term -> stats dict (preload_term_stats)
+
+    def preload_term_stats(self, spark) -> int:
+        """Opt-in driver-side cache of the term-stats table for the
+        query_one latency fast path (one Spark job instead of two per
+        query: the tokenize+stats-join job is replaced by a dict lookup).
+        Costs one scan now plus ~100 B of driver memory per term — right
+        for standing single-query services on vocabularies up to ~10^7
+        terms; batch_query never needs it (its stats join is amortized
+        over the batch). Returns the number of cached terms."""
+        rows = self.term_stats(spark).collect()
+        has_floor = rows and "floor_dl10" in rows[0].__fields__
+        self._stats_cache = {
+            r["term"]: {
+                "df": int(r["df"]),
+                "floor_dl10": r["floor_dl10"] if has_floor else None,
+                "floor_dl100": r["floor_dl100"] if has_floor else None,
+            }
+            for r in rows
+        }
+        return len(self._stats_cache)
 
     def docs(self, spark):
         return spark.read.parquet(

@@ -456,7 +456,10 @@ def _score_floor_by_qid(qt_rows, m, scorer, k: int) -> Dict[int, float]:
     docstring); threshold REUSE across batches (seed_thr_by_qid) is the
     scale path for standing query services."""
     max_dl = int(m.metrics.get("max_dl", 0) or 0)
-    fields = set(qt_rows[0].__fields__) if qt_rows else set()
+    if not qt_rows:
+        return {}
+    r0 = qt_rows[0]
+    fields = set(r0.__fields__) if hasattr(r0, "__fields__") else set(r0.keys())
     use10 = k <= 10 and "floor_dl10" in fields
     use100 = k <= 100 and "floor_dl100" in fields
 
@@ -663,11 +666,25 @@ def query_one(spark, index: LoadedIndex, query_text: str, k: int = 10,
     Latency fast path: skips batch_query's final window (one whole Spark
     job) by collecting the per-task top-k candidates (≤ k rows per task)
     and merging driver-side with the identical (score desc, doc_id asc)
-    order — bit-identical to batch_query (tested), two Spark jobs total.
-    The latency harness in bench.py times repeated calls of this."""
-    qdf = spark.createDataFrame([(0, query_text)], "query_id long, query_text string")
+    order — bit-identical to batch_query (tested). Two Spark jobs total;
+    ONE if ``index.preload_term_stats(spark)`` was called first: the
+    tokenizer is a pure function (tokenizer.py), so the query's terms and
+    their stats resolve driver-side from the cache with no job at all —
+    the standing-service configuration. The latency harness in bench.py
+    times repeated calls of this."""
     get_scorer(scorer)
-    qt_rows = _query_terms(spark, index, qdf).collect()
+    if index._stats_cache is not None:
+        from flatnav_spark.tokenizer import get_tokenizer
+
+        cache = index._stats_cache
+        terms = sorted(set(get_tokenizer(index.manifest.tokenizer_mode)(query_text)))
+        qt_rows = [
+            {"query_id": 0, "term": t, **cache[t]} for t in terms if t in cache
+        ]
+    else:
+        qdf = spark.createDataFrame(
+            [(0, query_text)], "query_id long, query_text string")
+        qt_rows = _query_terms(spark, index, qdf).collect()
     if not qt_rows:
         return []
     part = _run_pass(spark, index, qt_rows, k, prune,

@@ -182,6 +182,15 @@ def test_query_one_matches_batch(spark, built):
     batch = _engine_topk(spark, index, [(0, "import mergeIndex")], k=5)
     single = query_one(spark, index, "import mergeIndex", k=5)
     assert single == [(r[1], r[2], r[3]) for r in batch]
+    # the one-job standing-service path (preloaded stats + driver-side
+    # tokenize) must be bit-identical too
+    n = index.preload_term_stats(spark)
+    assert n == index.manifest.n_terms
+    try:
+        fast = query_one(spark, index, "import mergeIndex", k=5)
+    finally:
+        index._stats_cache = None  # don't leak into other module tests
+    assert fast == single
 
 
 def test_unknown_scorer_rejected(spark, built):
