@@ -375,6 +375,11 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
         },
         # M3 analog: single-query latency percentiles (ms, 1 query in flight)
         "latency_ms": {
+            # protocol stamp (round-4 ADVICE): percentiles measure the
+            # preloaded one-job standing-service path since round 4 — a
+            # delta vs a round measured under the older two/three-job
+            # protocol is a protocol change, not a performance change
+            "protocol": "preloaded_one_job" if n_lat else "none",
             "n": int(lat_ms.size),
             "p50": v["latency_p50_ms"],
             "p90": v["latency_p90_ms"],

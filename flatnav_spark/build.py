@@ -546,8 +546,18 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
         raise ValueError(f"no complete stage-1 groups under {out_path}")
     try:
         prior = IndexManifest.load(out_path)
-    except (FileNotFoundError, ValueError):
-        prior = None
+    except FileNotFoundError:
+        prior = None  # fresh build: no committed manifest exists
+    except ValueError as e:
+        # a manifest EXISTS but this code can't read it (newer schema
+        # version, torn file): rebuilding in place would overwrite
+        # postings/docs/stats the unreadable manifest still references —
+        # exactly when the directory contents are least understood.
+        # Refuse; the caller must delete the index directory explicitly.
+        raise ValueError(
+            f"refusing to rebuild over {out_path}: existing manifest is "
+            f"unreadable ({e}); delete the index directory to rebuild"
+        ) from e
     if prior is None:
         p_dir, d_dir, s_dir, build_gen = "postings", "docs", "stats", 0
     else:
@@ -839,6 +849,7 @@ def extend_index(spark, index: LoadedIndex, new_corpus_df,
     out_path = index.path
     # always operate on the ON-DISK state: the caller may hold a stale
     # handle from before a previous extension
+    caller = index
     caller_manifest = index.manifest
     m = IndexManifest.load(out_path)
     index = LoadedIndex(out_path, m)
@@ -909,10 +920,22 @@ def extend_index(spark, index: LoadedIndex, new_corpus_df,
     # normally just the one written above, plus any from a crashed extend
     pending = [g for g, _meta in _complete_groups(out_path) if g not in m.lineage]
     if not pending:
-        return index  # idempotent re-add: nothing new, index unchanged
+        # idempotent re-add: nothing new on disk — but the caller's handle
+        # may still predate an EARLIER extension, so sync it (and drop a
+        # cache built against the stale manifest) before returning
+        if vars(caller_manifest) != vars(m):
+            caller_manifest.__dict__.update(vars(m))
+            caller._stats_cache = None
+        return index
     out = _append_generation(spark, out_path, m, pending, out_partitions)
     # sync the caller's handle (stats dir was swapped; old one is deleted)
+    # AND drop its preloaded term-stats cache: a standing service that
+    # extended its index must not keep serving query_one from pre-extend
+    # df/floor stats against post-extend n_docs/avgdl (stale-cache scores
+    # match neither index, and terms new to the corpus would silently
+    # return empty). preload_term_stats re-arms it on demand.
     caller_manifest.__dict__.update(vars(out.manifest))
+    caller._stats_cache = None
     return out
 
 

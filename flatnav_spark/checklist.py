@@ -740,7 +740,10 @@ def _engine_topk(spark, sf_dir: str, scorer: str):
     while True:
         res = batch_query(spark, idx, qdf, k=_K + slack, prune=True, scorer=scorer)
         joined = res.join(src, "doc_id").select("query_id", "src_doc_id", "score")
-        if slack >= 4096:  # corpus-sized fetch: trivially complete
+        if _K + slack >= idx.manifest.n_docs:
+            # fetch covers the whole corpus: trivially complete (derived
+            # from the engine index, not a constant — a grown fixture
+            # can't silently weaken the boundary-tie check)
             break
         fetched = joined.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("nf"),

@@ -178,3 +178,69 @@ def _topk_rows(spark, index, queries, k=10):
         (r.query_id, r.rank, r.doc_id, r.score)
         for r in batch_query(spark, index, qdf, k=k).collect()
     )
+
+
+def test_extend_invalidates_preloaded_stats_cache(spark, tmp_path):
+    """A standing service holding a preloaded term-stats cache
+    (index.preload_term_stats) must not keep serving from it after
+    extend_index commits (round-4 ADVICE, medium): stale df/floor stats
+    against the updated n_docs/avgdl score against NEITHER index, and a
+    term that exists only in the new documents would silently return no
+    results. extend_index drops the caller's cache at the commit point."""
+    from flatnav_spark.query import query_one
+
+    out = str(tmp_path / "index")
+    rows = synth_corpus(100, seed=7)
+    # the extension batch carries a term the original corpus never saw
+    second = [(r[0], r[1], r[2], r[3], r[4] + " zzbrandnewterm")
+              for r in rows[80:]]
+    index = build_index(spark.createDataFrame(rows[:80], SCHEMA), out,
+                        mode="code", n_splits=8, n_groups=2, block_range=64,
+                        out_partitions=4)
+    index.preload_term_stats(spark)
+    assert "zzbrandnewterm" not in index._stats_cache
+    ext = extend_index(spark, index, spark.createDataFrame(second, SCHEMA),
+                       out_partitions=4)
+    # the caller's handle was synced AND its cache invalidated
+    assert index.manifest.n_docs == ext.manifest.n_docs == 100
+    assert index._stats_cache is None
+    # query_one through the caller handle now sees the new-only term...
+    res = query_one(spark, index, "zzbrandnewterm", k=5)
+    assert res, "new-only term must hit the extended postings"
+    # ...and re-arming the cache reproduces the same (bit-identical) result
+    index.preload_term_stats(spark)
+    assert query_one(spark, index, "zzbrandnewterm", k=5) == res
+    qdf = spark.createDataFrame([(0, "zzbrandnewterm")],
+                                "query_id long, query_text string")
+    batch = sorted((r.rank, r.doc_id, r.score)
+                   for r in batch_query(spark, ext, qdf, k=5).collect())
+    assert sorted((rk, d, s) for rk, d, s in res) == batch
+
+
+def test_rebuild_refuses_unreadable_manifest(spark, tmp_path):
+    """Rebuilding over an index whose manifest this code CANNOT read (e.g.
+    written by a newer schema version) must refuse, not silently fall back
+    to a fresh in-place build that overwrites directories the newer
+    manifest still references (round-4 ADVICE)."""
+    import json
+    import os
+
+    out = str(tmp_path / "index")
+    rows = synth_corpus(40, seed=5)
+    build_index(spark.createDataFrame(rows, SCHEMA), out, mode="code",
+                n_splits=4, n_groups=1, block_range=64, out_partitions=2)
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        d = json.load(f)
+    d["version"] = 99  # simulate a newer, unknown schema
+    with open(mpath, "w") as f:
+        json.dump(d, f)
+    # resume=True is the in-place path (resume=False explicitly clears the
+    # whole directory first): it must refuse, not rebuild over tables the
+    # unreadable manifest still references
+    with pytest.raises(ValueError, match="refusing to rebuild"):
+        build_index(spark.createDataFrame(rows, SCHEMA), out, mode="code",
+                    n_splits=4, n_groups=1, block_range=64, out_partitions=2,
+                    resume=True)
+    # the existing tables were left untouched
+    assert os.path.isdir(os.path.join(out, "postings"))
