@@ -140,7 +140,7 @@ def _vs_prev(result: dict, repo_dir: str) -> dict:
         and prev.get("n_queries") == result["n_queries"]
     )
     out = {"prev": fname, "comparable": comparable}
-    for key in ("files_per_sec", "qps", "qps_wand"):
+    for key in ("files_per_sec", "qps", "qps_wand", "qps_seeded"):
         p = prev.get(key)
         c = result.get(key)
         if isinstance(p, (int, float)) and isinstance(c, (int, float)) and p:
@@ -282,8 +282,32 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
         prune=False, label="query_batch")
     timings["query_batch_wand"], _, wd_counts = timed_batch(
         prune=True, label="query_batch_wand")
+    seeded: dict = {}
     if not fast:
         timings["query_batch_tfidf"], _, _ = timed_batch(prune=True, scorer="tfidf_ip")
+
+        # standing-service threshold-reuse repeat (the WAND scale path,
+        # flatnav_spark/service.py): the same batch re-answered with each
+        # query's attained k-th score seeded into every task — pruning is
+        # parallelism-independent in this regime. Cold pass (≈ the wand
+        # run above) fills the cache, the seeded repeat is what's timed.
+        from flatnav_spark.service import StandingQueryService
+
+        svc = StandingQueryService(spark, index, k=k, preload_stats=False)
+        svc.search_batch(queries)
+        dt, _, busy, steal = _phase_cpu(
+            lambda: svc.search_batch(queries, collect_metrics=True))
+        timings["query_batch_seeded"] = dt
+        cpu_cores["query_batch_seeded"] = (busy, steal)
+        sm = svc.last_metrics
+        seeded = {
+            "seg_prune_frac": round(
+                sm["segments_pruned"]
+                / max(sm["segments_scored"] + sm["segments_pruned"], 1), 4),
+            "pair_prune_frac": round(
+                sm["pairs_pruned"]
+                / max(sm["pairs_scored"] + sm["pairs_pruned"], 1), 4),
+        }
 
     # single-query latency percentiles — the reference protocol: one search
     # "thread" at a time, repeated single queries (experiments/Makefile:22,
@@ -318,6 +342,9 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
     rep.emit("files_per_sec", n_docs / timings["build"])
     rep.emit("qps", n_queries / timings["query_batch"])
     rep.emit("qps_wand", n_queries / timings["query_batch_wand"])
+    if seeded:
+        rep.emit("qps_seeded", n_queries / timings["query_batch_seeded"])
+        rep.emit("wand_seeded_prune_frac", seeded["seg_prune_frac"])
     rep.emit("n_docs", n_docs)
     rep.emit("n_queries", n_queries)
     rep.emit("n_results", n_results)
@@ -349,6 +376,8 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
         "files_per_sec": v["files_per_sec"],
         "qps": v["qps"],
         "qps_wand": v["qps_wand"],
+        "qps_seeded": v.get("qps_seeded"),
+        "seeded": seeded or None,
         # M4 analog (distance computations): blocks AND segments scored vs
         # pruned per run — segments are the decode unit, so the segment
         # fraction is the honest measure of work WAND actually skipped
@@ -414,13 +443,17 @@ def headline(result: dict, full_path: str | None = None) -> dict:
     h = {k: result[k] for k in (
         "metric", "value", "unit", "queries", "sf", "corpus", "cpus",
         "n_docs", "n_queries", "k", "n_results",
-        "files_per_sec", "qps", "qps_wand") if k in result}
+        "files_per_sec", "qps", "qps_wand", "qps_seeded") if k in result
+        and result[k] is not None}
     b = result.get("blocks", {})
     h["wand"] = {
         "seg_prune_frac": b.get("wand_prune_frac"),
         "pair_prune_frac": b.get("wand_pair_prune_frac"),
         "active": b.get("wand_active"),
     }
+    if result.get("seeded"):
+        h["wand"]["seeded_seg_frac"] = result["seeded"]["seg_prune_frac"]
+        h["wand"]["seeded_pair_frac"] = result["seeded"]["pair_prune_frac"]
     for key in ("latency_ms", "cpu_cores", "vs_prev"):
         if key in result:
             h[key] = result[key]
@@ -439,7 +472,14 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_queries = int(os.environ.get("FLATNAV_BENCH_QUERIES", "1000"))
     k = int(os.environ.get("FLATNAV_BENCH_K", "10"))
-    corpus_spec = os.environ.get("FLATNAV_BENCH_CORPUS", "documents")
+    # headline default moved to a zipf corpus (round-4 VERDICT #2): the
+    # 5000-doc/31-term documents fixture made every WAND/latency number
+    # degenerate (every block holds every query's terms). zipf:200k has a
+    # 120k-term heavy-tailed vocabulary — prune fracs and percentiles mean
+    # something. The documents fixture stays the parity smoke via the
+    # driver's CORRECTNESS oracle entries. vs_prev marks the protocol
+    # break (comparable: false against pre-r05 documents-corpus rounds).
+    corpus_spec = os.environ.get("FLATNAV_BENCH_CORPUS", "zipf:200000")
     result = run_bench(sf_dir, cpus, n_queries, k, corpus_spec)
     repo = os.path.dirname(os.path.abspath(__file__))
     full_path = os.environ.get(

