@@ -988,9 +988,34 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
     )
     encode = _make_segment_encoder(m.block_range, m.chunk_blocks)
     chunk_span = m.block_range * m.chunk_blocks
+
     # every delta/metric rides its write job as an Observation — the extend
     # fixed floor is 3 writes here + 1 group write, no standalone collects
-    # (round-3 VERDICT #5)
+    # (round-3 VERDICT #5). The docs write depends only on the stage-1
+    # read, not on the encode, so it's submitted from a parallel driver
+    # thread and overlaps the encode+stats chain (round-4 VERDICT #6:
+    # wall = group + max(encode+stats, docs), not the sum — the same
+    # job-level executeInParallel pattern stage 1 uses).
+    from concurrent.futures import ThreadPoolExecutor
+
+    docs_obs = Observation()
+
+    def _write_docs():
+        (
+            docs_new.repartitionByRange(max(out_partitions // 2, 1), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .observe(docs_obs,  # above the exchange: see _stage2 note
+                     F.count(F.lit(1)).alias("n"),
+                     F.sum("dl").alias("dl"),
+                     F.max("dl").alias("max_dl"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, gen_docs))
+        )
+        return docs_obs.get
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    docs_future = pool.submit(_write_docs)
+
     seg_obs = Observation()
     (
         tf_new.withColumn("chunk_id", F.floor(F.col("doc_id") / F.lit(chunk_span)).cast("long"))
@@ -1049,18 +1074,8 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
     skew_row = skew_obs.get
     mark(f"extend:{tag}:stats-merge")
 
-    docs_obs = Observation()
-    (
-        docs_new.repartitionByRange(max(out_partitions // 2, 1), "doc_id")
-        .sortWithinPartitions("doc_id")
-        .observe(docs_obs,  # above the exchange: see _stage2 note
-                 F.count(F.lit(1)).alias("n"),
-                 F.sum("dl").alias("dl"),
-                 F.max("dl").alias("max_dl"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_path, gen_docs))
-    )
-    drow = docs_obs.get
+    drow = docs_future.result()
+    pool.shutdown()
     mark(f"extend:{tag}:docs")
 
     old_stats_dir = m.stats_dir
