@@ -703,7 +703,7 @@ def _engine_index_for(spark, sf_dir: str):
     return idx
 
 
-def _engine_topk(spark, sf_dir: str, scorer: str):
+def _engine_topk(spark, sf_dir: str, scorer: str, runner=None):
     """Engine top-k with DOC IDENTITY restored (round-2 VERDICT #5): the
     engine's internal doc_ids are joined back to the source `documents`
     doc_id (embedded in the corpus path by documents_as_corpus), then
@@ -736,9 +736,12 @@ def _engine_topk(spark, sf_dir: str, scorer: str):
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("score", 4)), F.asc("src_doc_id")
     )
+    if runner is None:
+        def runner(qdf_, kk):
+            return batch_query(spark, idx, qdf_, k=kk, prune=True, scorer=scorer)
     slack = 10
     while True:
-        res = batch_query(spark, idx, qdf, k=_K + slack, prune=True, scorer=scorer)
+        res = runner(qdf, _K + slack)
         joined = res.join(src, "doc_id").select("query_id", "src_doc_id", "score")
         if _K + slack >= idx.manifest.n_docs:
             # fetch covers the whole corpus: trivially complete (derived
@@ -837,6 +840,34 @@ def engine_extend_topk(spark, sf_dir: str):
     )
 
 
+def engine_service_topk(spark, sf_dir: str):
+    """Threshold-reuse parity through the driver oracle (round-5): the
+    standing service (flatnav_spark/service.py — the shared-read-only-
+    index analog, bindings.cpp:196-212) answers the fixture batch COLD,
+    filling its per-query-text threshold cache, then answers the
+    IDENTICAL batch SEEDED with each query's attained k-th score. The
+    seeded results are asserted equal to the cold ones in-process and
+    hashed against the same SQL oracle as engine_bm25_topk — the driver-
+    gate proof that threshold reuse is lossless."""
+    from flatnav_spark.service import StandingQueryService
+
+    idx = _engine_index_for(spark, sf_dir)
+
+    def runner(qdf_, kk):
+        qrows = [(int(r.query_id), r.query_text) for r in qdf_.collect()]
+        svc = StandingQueryService(spark, idx, k=kk, preload_stats=False)
+        cold = svc.search_batch(qrows)
+        assert svc.cached_thresholds > 0
+        seeded = svc.search_batch(qrows)
+        assert seeded == cold, "threshold-seeded repeat diverged from cold run"
+        rows = [(qid, d, s) for qid, hits in seeded.items()
+                for (_rk, d, s) in hits]
+        return spark.createDataFrame(
+            rows, "query_id long, doc_id long, score double")
+
+    return _engine_topk(spark, sf_dir, "bm25", runner=runner)
+
+
 def engine_tfidf_topk(spark, sf_dir: str):
     """The second scorer (TF-IDF inner product, the IP-metric analog)
     through the REAL engine against a pure-SQL oracle — proof the
@@ -852,6 +883,7 @@ def build_queries() -> Dict[str, Callable]:
     out["engine_bm25_topk"] = engine_bm25_topk
     out["engine_tfidf_topk"] = engine_tfidf_topk
     out["engine_extend_topk"] = engine_extend_topk
+    out["engine_service_topk"] = engine_service_topk
     out["lsh_ann_topk"] = lsh_ann_topk
     out["multimodal_decode"] = multimodal_decode
     out["multimodal_features"] = multimodal_features
@@ -866,6 +898,8 @@ def build_oracles() -> Dict[str, str]:
     out["engine_tfidf_topk"] = _tfidf_sql("duck", with_doc_id=True)
     # extend == fresh-build semantics over the grown corpus: same oracle
     out["engine_extend_topk"] = _bm25_sql("duck", with_doc_id=True)
+    # seeded repeat == cold run == fresh BM25 semantics: same oracle
+    out["engine_service_topk"] = _bm25_sql("duck", with_doc_id=True)
     out["multimodal_decode"] = _MULTIMODAL_DECODE_ORACLE
     out["multimodal_features"] = _MULTIMODAL_FEATURES_ORACLE
     from flatnav_spark.simsearch import lsh_duckdb_oracle_sql
