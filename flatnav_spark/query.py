@@ -10,10 +10,13 @@ Plan shape — ONE shuffle on the hot path, no join:
      join term_stats for df — the query-term table is tiny (bounded by the
      query batch), so it is collected and closure-broadcast to every task,
      the analog of flatnav's shared read-only index + per-thread queries.
-  2. postings scan with a literal ``term IN (...)`` filter (row-group
-     pruning on the term-sorted layout) — only segments of query terms
-     are read and shuffled.
-  3. repartition by chunk_id, sortWithinPartitions(chunk_id, term),
+  2. postings scan filtered to the batch's terms — literal ``term IN``
+     for small sets, broadcast LEFT SEMI join + [min,max] range predicate
+     above LARGE_TERM_SET (row-group pruning on the term-sorted layout
+     either way) — only segments of query terms are read and shuffled.
+  3. exact zero-job contiguous range partition on chunk_id
+     (flatnav_spark/partitioning.py — no repartitionByRange sampling
+     job), sortWithinPartitions(chunk_id, term),
      mapInPandas scorer: each task walks its chunks in order; per chunk it
      decodes every needed row's postings in ONE concatenated varint pass,
      then scores the chunk's blocks ascending, accumulating contributions
