@@ -619,6 +619,20 @@ def lsh_ann_topk(spark, sf_dir: str):
     return lsh_cosine_topk(emb, q, k=5, n_planes=32, n_bands=8)
 
 
+def ivf_ann_topk(spark, sf_dir: str):
+    """IVF coarse-quantizer ANN (SURVEY C3 k-means + inverted-file probe)
+    through the REAL Spark path — kmeans_fit runs two distributed Lloyd
+    iterations, the probe joins only nprobe clusters per query — against a
+    generated DuckDB replay of the identical rounded computation."""
+    from flatnav_spark.simsearch import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter("vec_id < 3").select(
+        emb.vec_id.alias("qid"), emb.embedding.alias("qe")
+    )
+    return ivf_topk(emb, q, k=5, n_clusters=8, nprobe=3, n_iters=2)
+
+
 def multimodal_decode(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -885,6 +899,7 @@ def build_queries() -> Dict[str, Callable]:
     out["engine_extend_topk"] = engine_extend_topk
     out["engine_service_topk"] = engine_service_topk
     out["lsh_ann_topk"] = lsh_ann_topk
+    out["ivf_ann_topk"] = ivf_ann_topk
     out["multimodal_decode"] = multimodal_decode
     out["multimodal_features"] = multimodal_features
     return out
@@ -906,5 +921,10 @@ def build_oracles() -> Dict[str, str]:
 
     out["lsh_ann_topk"] = lsh_duckdb_oracle_sql(
         dim=64, k=5, n_planes=32, n_bands=8, query_filter="vec_id < 3"
+    )
+    from flatnav_spark.simsearch import ivf_duckdb_oracle_sql
+
+    out["ivf_ann_topk"] = ivf_duckdb_oracle_sql(
+        dim=64, k=5, n_clusters=8, nprobe=3, n_iters=2, query_filter="vec_id < 3"
     )
     return out

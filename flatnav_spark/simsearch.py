@@ -197,6 +197,215 @@ def lsh_cosine_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF: coarse-quantizer ANN (closes SURVEY §2 C3 — reference
+# CentroidsGenerator.h:40-44,63-66 runs Lloyd's k-means offline; the IVF
+# probe is the classic inverted-file counterpart). Everything is rounded at
+# fixed decimals each step so DuckDB can replay the identical computation:
+#   init      = embeddings of the n_clusters smallest vec_ids (cid by id order)
+#   assign    = argmin over round(squared-L2, 6), ties to the smallest cid
+#   update    = per-component round(avg, 6); empty clusters keep their centroid
+#   probe     = nprobe nearest centroids per query (same rounded metric)
+#   re-score  = exact cosine on candidates, round 4, rank with vec_id tie-break
+# The fit is an offline driver loop (centroids are small BY DEFINITION — the
+# reference runs 62 Lloyd iterations offline too); each iteration is one
+# distributed assign + one distributed per-component mean. The per-iteration
+# collect moves n_clusters x dim doubles, never corpus rows.
+
+
+def _sq_dists(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """round(|x - c|^2, 6) per (row, centroid) — the replayable metric."""
+    out = np.empty((mat.shape[0], centroids.shape[0]))
+    for j in range(centroids.shape[0]):
+        d = mat - centroids[j]
+        out[:, j] = np.round(np.einsum("ij,ij->i", d, d), 6)
+    return out
+
+
+def _make_assign_udf(centroids: np.ndarray):
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64, copy=False)
+        # np.argmin takes the FIRST minimum -> ties break to the smallest cid
+        return pd.Series(np.argmin(_sq_dists(mat, c), axis=1).astype(np.int32))
+
+    return assign
+
+
+def _make_probe_udf(centroids: np.ndarray, nprobe: int):
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def probe(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64, copy=False)
+        d = _sq_dists(mat, c)
+        # stable sort breaks distance ties by index == cid, matching the
+        # oracle's ORDER BY dist, cid
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return probe
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    n_clusters: int,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's k-means over a Spark DataFrame; returns the (n_clusters, dim)
+    float64 centroid matrix. Deterministic and engine-replayable: seeded by
+    the n_clusters smallest ids, every intermediate rounded (module
+    docstring). Assignment is one Arrow-vectorized UDF pass (no corpus x
+    centroid join); the update is posexplode + groupBy(cid, pos) avg — a
+    map-side-combined agg of n_clusters x dim cells."""
+    init_rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
+    if len(init_rows) < n_clusters:
+        raise ValueError(f"n_clusters={n_clusters} > corpus size {len(init_rows)}")
+    c = np.round(np.array([r[1] for r in init_rows], dtype=np.float64), 6)
+    dim = c.shape[1]
+    for _ in range(n_iters):
+        assign = _make_assign_udf(c)
+        cells = (
+            embeddings.select(F.col(vec_col).alias("emb"))
+            .withColumn("cid", assign("emb"))
+            .select("cid", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("v"))
+            .collect()
+        )
+        nxt = c.copy()  # empty clusters keep their previous centroid
+        touched = np.zeros(len(c), dtype=bool)
+        for row in cells:
+            nxt[row.cid, row.pos] = row.v
+            touched[row.cid] = True
+        c = nxt if touched.any() else c
+    return c
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    n_iters: int = 2,
+    centroids: Optional[np.ndarray] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qe",
+) -> DataFrame:
+    """IVF approximate cosine top-k: k-means coarse quantizer, candidates =
+    members of each query's nprobe nearest clusters, exact cosine re-score.
+    Same (qid, rank, vec_id, cos) schema as cosine_topk/lsh_cosine_topk so
+    recall joins directly. Scale shape: the corpus is touched by ONE
+    vectorized assign pass and the candidate join reads only probed
+    clusters (~ nprobe/n_clusters of the corpus per query); the broadcast
+    query side keeps corpus rows shuffle-free."""
+    if centroids is None:
+        centroids = kmeans_fit(embeddings, n_clusters, n_iters, id_col, vec_col)
+    assign = _make_assign_udf(centroids)
+    probe = _make_probe_udf(centroids, nprobe)
+
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    e = e.withColumn("cid", assign("emb"))
+    q = queries.select(F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qe"))
+    qp = q.select("qid", "qe", F.explode(probe("qe")).alias("cid"))
+
+    cand = F.broadcast(qp).join(e, "cid")
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        F.round(_dot(F.col("qe"), F.col("emb")) / (_norm(F.col("qe")) * _norm(F.col("emb"))), 4).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").cast("long").alias("qid"), "rank", F.col("vec_id").cast("long").alias("vec_id"), "cos")
+    )
+
+
+def ivf_duckdb_oracle_sql(
+    dim: int,
+    k: int,
+    n_clusters: int,
+    nprobe: int,
+    n_iters: int,
+    query_filter: str,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB SQL replaying kmeans_fit + ivf_topk exactly — chained CTEs run
+    the same rounded Lloyd iterations (init by smallest vec_ids, rounded
+    argmin assignment, rounded per-component means with empty-cluster
+    carry-over), the same nprobe probe, and the same rounded cosine
+    re-score, so the driver hash-checks the whole IVF path end-to-end
+    (the generated-oracle pattern of lsh_duckdb_oracle_sql above)."""
+    dist = (
+        "round(list_sum(list_transform(range(1, {d}), "
+        "i -> (e.embedding[i]::DOUBLE - c.cv[i]) * (e.embedding[i]::DOUBLE - c.cv[i]))), 6)"
+    ).format(d=dim + 1)
+    parts = [
+        f"WITH e AS (SELECT vec_id, embedding FROM {table}),",
+        # init: cid 0..n_clusters-1 over the n_clusters smallest vec_ids
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+        " list_transform(embedding, x -> round(x::DOUBLE, 6)) AS cv"
+        f" FROM e ORDER BY vec_id LIMIT {n_clusters}),",
+    ]
+    for it in range(n_iters):
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cid FROM ("
+            f"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY {dist}, c.cid) AS rn FROM e CROSS JOIN c{it} c) WHERE rn = 1),"
+        )
+        parts.append(
+            f"c{it + 1} AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv FROM c{it} c"
+            " LEFT JOIN (SELECT cid, list(v ORDER BY pos) AS cv FROM ("
+            f"SELECT a.cid, t.i AS pos, round(avg(e.embedding[t.i]::DOUBLE), 6) AS v"
+            f" FROM a{it} a JOIN e ON e.vec_id = a.vec_id"
+            f" CROSS JOIN range(1, {dim + 1}) AS t(i)"
+            " GROUP BY a.cid, t.i) GROUP BY cid) u ON u.cid = c.cid),"
+        )
+    fin = f"c{n_iters}"
+    parts.append(
+        f"afin AS (SELECT vec_id, cid FROM ("
+        f"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY {dist}, c.cid) AS rn FROM e CROSS JOIN {fin} c) WHERE rn = 1),"
+    )
+    parts.append(f"q AS (SELECT vec_id AS qid, embedding AS qe FROM {table} WHERE {query_filter}),")
+    qdist = dist.replace("e.embedding", "q.qe")
+    parts.append(
+        f"probe AS (SELECT qid, cid FROM ("
+        f"SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid"
+        f" ORDER BY {qdist}, c.cid) AS rn FROM q CROSS JOIN {fin} c) WHERE rn <= {nprobe}),"
+    )
+    parts.append(
+        "cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN afin a ON a.cid = p.cid),"
+    )
+    parts.append(
+        "scored AS (SELECT c.qid, c.vec_id,"
+        f" round(list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> qv.embedding[i]::DOUBLE * ev.embedding[i]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(qv.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(ev.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos"
+        f" FROM cand c JOIN {table} qv ON qv.vec_id = c.qid"
+        f" JOIN {table} ev ON ev.vec_id = c.vec_id),"
+    )
+    parts.append(
+        "ranked AS (SELECT qid, vec_id, cos, CAST(row_number() OVER"
+        " (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank FROM scored)"
+    )
+    parts.append(
+        f"SELECT CAST(qid AS BIGINT) AS qid, rank, CAST(vec_id AS BIGINT) AS vec_id, cos"
+        f" FROM ranked WHERE rank <= {k}"
+    )
+    return "\n".join(parts)
+
+
 def lsh_recall_at_k(spark, embeddings: DataFrame, queries: DataFrame, k: int = 10,
                     **lsh_kwargs) -> float:
     """Measured recall@k of the LSH path vs the exact brute-force oracle —

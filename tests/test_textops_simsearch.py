@@ -151,3 +151,59 @@ def test_lsh_self_always_found(spark, embeddings):
     rank1 = {r.qid: r.vec_id for r in top if r.rank == 1}
     for qid, vec_id in rank1.items():
         assert vec_id == qid  # a vector always collides with itself
+
+
+def test_kmeans_fit_deterministic_and_partitions(spark, embeddings):
+    """C3: Lloyd's k-means — deterministic across reruns, centroids move off
+    their init, every cluster id in range."""
+    import numpy as np
+
+    c1 = simsearch.kmeans_fit(embeddings, n_clusters=8, n_iters=2)
+    c2 = simsearch.kmeans_fit(embeddings, n_clusters=8, n_iters=2)
+    assert c1.shape == (8, 64)
+    assert np.array_equal(c1, c2)
+    init = np.round(np.array(
+        [r.embedding for r in embeddings.orderBy("vec_id").limit(8).collect()],
+        dtype=np.float64), 6)
+    assert not np.array_equal(c1, init)  # the update actually ran
+
+
+def test_ivf_self_found_and_scores_exact(spark, embeddings):
+    q = embeddings.filter("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    top = simsearch.ivf_topk(embeddings, q, k=3, n_clusters=8, nprobe=3).collect()
+    rank1 = {r.qid: (r.vec_id, r.cos) for r in top if r.rank == 1}
+    for qid, (vec_id, cos) in rank1.items():
+        # a query's own cluster is always its nearest -> self is probed
+        assert vec_id == qid and cos == 1.0
+    # IVF scores, where returned, are the EXACT re-scored cosine
+    exact = {(r.qid, r.vec_id): r.cos
+             for r in simsearch.cosine_topk(embeddings, q, k=3).collect()}
+    for r in top:
+        if (r.qid, r.vec_id) in exact:
+            assert r.cos == exact[(r.qid, r.vec_id)]
+
+
+def test_ivf_recall_improves_with_nprobe(spark, embeddings):
+    q = embeddings.filter("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact_sets = {}
+    for r in simsearch.cosine_topk(embeddings, q, k=5).collect():
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    cents = simsearch.kmeans_fit(embeddings, n_clusters=8, n_iters=2)
+
+    def recall(nprobe):
+        approx = simsearch.ivf_topk(embeddings, q, k=5, nprobe=nprobe,
+                                    centroids=cents).collect()
+        got = {}
+        for r in approx:
+            got.setdefault(r.qid, set()).add(r.vec_id)
+        hits = sum(len(exact_sets[k_] & got.get(k_, set())) for k_ in exact_sets)
+        return hits / sum(len(s) for s in exact_sets.values())
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 == 1.0        # probing every cluster IS exact search
+    assert r1 <= r8
+    assert r1 >= 0.2        # the home cluster alone finds a real share
