@@ -442,6 +442,31 @@ def _query_terms(spark, index: LoadedIndex, queries_df):
     return stats.join(F.broadcast(q_terms), "term").select(*cols)
 
 
+def _resolve_query_terms(spark, index: LoadedIndex, queries_df):
+    """qt_rows for a query batch. With preloaded term stats
+    (``index.preload_term_stats``) the whole resolution happens
+    driver-side — tokenizer is a pure function, stats come from the
+    cache, and a local-relation query batch collects without launching a
+    job — generalizing query_one's standing-service fast path to
+    batches: one Spark job per batch pass instead of two. Falls back to
+    the distributed broadcast join against the stats table otherwise.
+    Row order differs between the paths but scoring is order-invariant
+    (each (term, query) contribution lands in its own accumulator slot);
+    bit-identity is asserted in tests/test_service.py."""
+    cache = index._stats_cache
+    if cache is not None:
+        from flatnav_spark.tokenizer import get_tokenizer
+
+        tok = get_tokenizer(index.manifest.tokenizer_mode)
+        return [
+            {"query_id": int(r.query_id), "term": t, **cache[t]}
+            for r in queries_df.select("query_id", "query_text").collect()
+            for t in sorted(set(tok(r.query_text)))
+            if t in cache
+        ]
+    return _query_terms(spark, index, queries_df).collect()
+
+
 def _score_floor_by_qid(qt_rows, m, scorer, k: int) -> Dict[int, float]:
     """Zero-cost global WAND floor (round 4): a query term with df >= k
     guarantees at least k documents each scoring >= w * tfn(tf=1, max_dl)
@@ -665,9 +690,10 @@ def batch_query(
     from pyspark.sql import functions as F
 
     get_scorer(scorer)  # validate early
-    # driver-side collect of the query-term table: bounded by the query
-    # batch (|queries| x |terms per query|), never by corpus size
-    qt_rows = _query_terms(spark, index, queries_df).collect()
+    # driver-side query-term table: bounded by the query batch
+    # (|queries| x |terms per query|), never by corpus size; zero-job
+    # with preloaded stats (_resolve_query_terms)
+    qt_rows = _resolve_query_terms(spark, index, queries_df)
     if not qt_rows:
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
     if num_partitions is None:

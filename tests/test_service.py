@@ -101,3 +101,23 @@ def test_extend_under_live_service_drops_caches(spark, tmp_path):
                    for r in batch_query(spark, index, qdf, k=5).collect())
     assert after[0] == plain
     assert before[0] != after[0] or index.manifest.n_docs == 100
+
+
+def test_batch_query_preloaded_stats_bit_identical(spark, zidx):
+    """_resolve_query_terms: the zero-job driver-side stats resolution must
+    return bit-identical batches to the distributed stats join, for both
+    the pruned and exact paths."""
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query_text string")
+    for prune in (True, False):
+        zidx._stats_cache = None
+        cold = sorted(
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in batch_query(spark, zidx, qdf, k=5, prune=prune).collect()
+        )
+        zidx.preload_term_stats(spark)
+        fast = sorted(
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in batch_query(spark, zidx, qdf, k=5, prune=prune).collect()
+        )
+        zidx._stats_cache = None
+        assert fast == cold
