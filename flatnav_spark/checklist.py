@@ -633,6 +633,16 @@ def ivf_ann_topk(spark, sf_dir: str):
     return ivf_topk(emb, q, k=5, n_clusters=8, nprobe=3, n_iters=2)
 
 
+def embedding_near_dup(spark, sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH banding — the
+    embedding-space member of the dedup family (exact sha / minhash /
+    simhash / token-jaccard / THIS), hash-gated by a generated replay."""
+    from flatnav_spark.simsearch import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=32, n_bands=8)
+
+
 def multimodal_decode(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -900,6 +910,7 @@ def build_queries() -> Dict[str, Callable]:
     out["engine_service_topk"] = engine_service_topk
     out["lsh_ann_topk"] = lsh_ann_topk
     out["ivf_ann_topk"] = ivf_ann_topk
+    out["embedding_near_dup"] = embedding_near_dup
     out["multimodal_decode"] = multimodal_decode
     out["multimodal_features"] = multimodal_features
     return out
@@ -926,5 +937,10 @@ def build_oracles() -> Dict[str, str]:
 
     out["ivf_ann_topk"] = ivf_duckdb_oracle_sql(
         dim=64, k=5, n_clusters=8, nprobe=3, n_iters=2, query_filter="vec_id < 3"
+    )
+    from flatnav_spark.simsearch import near_dup_duckdb_oracle_sql
+
+    out["embedding_near_dup"] = near_dup_duckdb_oracle_sql(
+        dim=64, threshold=0.4, n_planes=32, n_bands=8
     )
     return out

@@ -197,6 +197,104 @@ def lsh_cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 32,
+    n_bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = _SEED,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) with a < b and
+    rounded cosine >= threshold, candidates restricted to hyperplane-LSH
+    band collisions — the embedding-space sibling of textops'
+    minhash_lsh_pairs (MMDS banding applied to random-hyperplane bits
+    instead of minhash rows). Scale shape: the self-join carries only
+    (id, band) pairs and is bucketed by band value — never all-pairs —
+    and vectors are re-joined once per deduped candidate for the exact
+    re-score. Same band arithmetic as lsh_cosine_topk, so
+    near_dup_duckdb_oracle_sql replays it exactly."""
+    if n_planes % n_bands:
+        raise ValueError(f"n_planes={n_planes} must be divisible by n_bands={n_bands}")
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    planes = _planes(dim, n_planes, seed)
+    sig_udf = _make_band_signature_udf(planes, n_bands)
+
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    bands = e.withColumn("sig", sig_udf(F.col("emb"))).select(
+        "vec_id", F.posexplode("sig").alias("band_id", "band_val")
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_val"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    scored = (
+        cand.join(e.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea")), "a")
+        .join(e.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb")), "b")
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.round(_dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 4).alias("cos"),
+        )
+    )
+    return scored.filter(F.col("cos") >= threshold)
+
+
+def near_dup_duckdb_oracle_sql(
+    dim: int,
+    threshold: float,
+    n_planes: int,
+    n_bands: int,
+    table: str = "embeddings",
+    seed: int = _SEED,
+) -> str:
+    """DuckDB replay of embedding_near_dup_pairs: identical literal
+    planes, band packing, a<b candidate dedup, rounded re-score, and
+    threshold filter (generated-oracle pattern of lsh_duckdb_oracle_sql)."""
+    planes = _planes(dim, n_planes, seed)
+    bits_per_band = n_planes // n_bands
+
+    def plane_literal(p: np.ndarray) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def band_val_expr(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> embedding[i]::DOUBLE * ({plane_literal(planes[b * bits_per_band + j])})[i])) >= 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+            for j in range(bits_per_band)
+        )
+
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band_id, {band_val_expr(b)} AS band_val FROM {table}"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.band_val = y.band_val
+  WHERE x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
+         round(list_sum(list_transform(range(1, {dim + 1}),
+                  i -> av.embedding[i]::DOUBLE * bv.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(av.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(bv.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+  FROM cand c
+  JOIN {table} av ON av.vec_id = c.a
+  JOIN {table} bv ON bv.vec_id = c.b
+)
+SELECT a, b, cos FROM scored WHERE cos >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF: coarse-quantizer ANN (closes SURVEY §2 C3 — reference
 # CentroidsGenerator.h:40-44,63-66 runs Lloyd's k-means offline; the IVF

@@ -207,3 +207,23 @@ def test_ivf_recall_improves_with_nprobe(spark, embeddings):
     assert r8 == 1.0        # probing every cluster IS exact search
     assert r1 <= r8
     assert r1 >= 0.2        # the home cluster alone finds a real share
+
+
+def test_embedding_near_dup_pairs(spark, embeddings):
+    """Near-dup pairs: subset of the true >=threshold pair set, exact
+    rounded cosines, a<b canonical order, no duplicates."""
+    got = simsearch.embedding_near_dup_pairs(
+        embeddings, threshold=0.4, n_planes=32, n_bands=8).collect()
+    assert len(got) > 0
+    keys = [(r.a, r.b) for r in got]
+    assert len(keys) == len(set(keys))
+    exact = {}
+    e = {r.vec_id: r.embedding for r in embeddings.collect()}
+    import numpy as np
+    for (a, b) in keys:
+        va, vb = np.array(e[a], dtype=np.float64), np.array(e[b], dtype=np.float64)
+        exact[(a, b)] = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 4)
+    for r in got:
+        assert r.a < r.b
+        assert abs(r.cos - exact[(r.a, r.b)]) < 1e-9
+        assert r.cos >= 0.4
