@@ -179,6 +179,22 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
     from flatnav_spark.query import batch_query
     from flatnav_spark.session import get_spark
 
+    # Host calibration stamp (round 5): FIXED bare-process work, measured
+    # before Spark starts, so cross-round deltas can separate host drift
+    # from engine changes — the sandbox's snapshot-VM placement varies
+    # >2x in memory bandwidth between sessions (membw_t8 ~5 s on a slow
+    # placement vs ~2 s on a fast one) while pure-CPU time stays flat,
+    # and every bandwidth-bound phase (tokenize, shuffle, Arrow) moves
+    # with it. Absolute seconds for the same fixed work ARE the
+    # normalizer; ~11 s total.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench"))
+    import cpu_probe as _cp
+
+    host = {
+        "cpu_t8": round(_cp.measure(8, fn=_cp.burn, work=_cp.WORK), 2),
+        "membw_t8": round(_cp.measure(8, fn=_cp.burn_mem, work=_cp.MEM_PASSES), 2),
+    }
+
     spark = get_spark(
         "flatnav_bench", cores=cpus, shuffle_partitions=max(cpus, 8),
         # split big input files finer so no-shuffle stages (corpus scan ->
@@ -373,6 +389,7 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
         "n_queries": n_queries,
         "k": k,
         "n_results": n_results,
+        "host": host,
         "files_per_sec": v["files_per_sec"],
         "qps": v["qps"],
         "qps_wand": v["qps_wand"],
@@ -442,7 +459,7 @@ def headline(result: dict, full_path: str | None = None) -> dict:
     goes to the side file named in "full"."""
     h = {k: result[k] for k in (
         "metric", "value", "unit", "queries", "sf", "corpus", "cpus",
-        "n_docs", "n_queries", "k", "n_results",
+        "n_docs", "n_queries", "k", "n_results", "host",
         "files_per_sec", "qps", "qps_wand", "qps_seeded") if k in result
         and result[k] is not None}
     b = result.get("blocks", {})
