@@ -808,6 +808,39 @@ def engine_bm25_topk(spark, sf_dir: str):
 _EXT_CACHE: dict = {}
 
 
+def _topk_by_src_doc_id(spark, idx):
+    """Fixture-batch top-k over an index whose paths encode the source
+    doc_id (doc/<id>.txt): query, map doc_id back to the source id, rank
+    on the ROUNDED score with src-id tie-break — the shared tail of the
+    engine_extend/engine_stream oracle entries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flatnav_spark.query import batch_query
+
+    qrows = [(qid, " ".join(terms)) for qid, terms in _BM25_QUERIES]
+    qdf = spark.createDataFrame(qrows, "query_id long, query_text string")
+    res = batch_query(spark, idx, qdf, k=_K + 10, prune=True)
+    src = idx.docs(spark).select(
+        "doc_id",
+        F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long").alias("src_doc_id"),
+    )
+    joined = res.join(src, "doc_id").select("query_id", "src_doc_id", "score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 4)), F.asc("src_doc_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("src_doc_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 def engine_extend_topk(spark, sf_dir: str):
     """Incremental-extend parity through the driver oracle: build over the
     first ~80% of `documents`, extend_index with the rest, query — results
@@ -836,32 +869,62 @@ def engine_extend_topk(spark, sf_dir: str):
         idx = extend_index(spark, idx, corpus.filter(~is_base), out_partitions=4)
         _EXT_CACHE[key] = idx
 
-    idx = _EXT_CACHE[key]
-    from pyspark.sql import Window
+    return _topk_by_src_doc_id(spark, _EXT_CACHE[key])
 
-    from flatnav_spark.query import batch_query
 
-    qrows = [(qid, " ".join(terms)) for qid, terms in _BM25_QUERIES]
-    qdf = spark.createDataFrame(qrows, "query_id long, query_text string")
-    res = batch_query(spark, idx, qdf, k=_K + 10, prune=True)
-    src = idx.docs(spark).select(
-        "doc_id",
-        F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long").alias("src_doc_id"),
-    )
-    joined = res.join(src, "doc_id").select("query_id", "src_doc_id", "score")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("score", 4)), F.asc("src_doc_id")
-    )
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _K)
-        .select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("rank").cast("long").alias("rank"),
-            F.col("src_doc_id").cast("long").alias("doc_id"),
-            F.round("score", 4).alias("score"),
+_STREAM_CACHE: Dict[str, object] = {}
+
+
+def engine_stream_topk(spark, sf_dir: str):
+    """Streaming-ingest parity through the driver oracle: build over the
+    first ~80% of `documents`, drop the rest into a drop-zone as two
+    parquet files, drain an availableNow stream_ingest (two micro-batches
+    -> two extend generations, flatnav_spark/streaming.py), query — must
+    hash-equal the same fresh-build SQL oracle over the FULL corpus
+    (streaming == extend == fresh-build semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from flatnav_spark.build import build_index
+    from flatnav_spark.index_io import load_index
+    from flatnav_spark.streaming import drain, stream_ingest
+
+    key = os.path.abspath(sf_dir)
+    if key not in _STREAM_CACHE or not os.path.exists(_STREAM_CACHE[key].path):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        cut = int(docs.agg(F.max("doc_id")).collect()[0][0] * 0.8)
+        corpus = docs.select(
+            F.lit("corpus").alias("repo"),
+            F.format_string("doc/%010d.txt", F.col("doc_id")).alias("path"),
+            F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
         )
-    )
+        is_base = F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long") <= cut
+        root = tempfile.mkdtemp(prefix="flatnav_stream_idx_")
+        out = os.path.join(root, "index")
+        build_index(corpus.filter(is_base), out, mode="simple",
+                    n_splits=1, n_groups=1, block_range=256, out_partitions=4)
+        # drop zone: the tail rows as two files -> two micro-batches
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        rows = corpus.filter(~is_base).collect()
+        half = len(rows) // 2
+        for name, chunk in (("w1.parquet", rows[:half]), ("w2.parquet", rows[half:])):
+            cols = list(zip(*[(r.repo, r.path, r.commit, r.lang, r.content) for r in chunk]))
+            pq.write_table(pa.table({
+                "repo": pa.array(cols[0]), "path": pa.array(cols[1]),
+                "commit": pa.array(cols[2]), "lang": pa.array(cols[3]),
+                "content": pa.array(cols[4]),
+            }), os.path.join(drop, name))
+        drain(stream_ingest(spark, out, drop, os.path.join(root, "ckpt"),
+                            max_files_per_trigger=1, out_partitions=4))
+        idx = load_index(out)
+        assert len(idx.manifest.postings_dirs) == 3, "expected 2 stream generations"
+        _STREAM_CACHE[key] = idx
+
+    return _topk_by_src_doc_id(spark, _STREAM_CACHE[key])
 
 
 def engine_service_topk(spark, sf_dir: str):
@@ -907,6 +970,7 @@ def build_queries() -> Dict[str, Callable]:
     out["engine_bm25_topk"] = engine_bm25_topk
     out["engine_tfidf_topk"] = engine_tfidf_topk
     out["engine_extend_topk"] = engine_extend_topk
+    out["engine_stream_topk"] = engine_stream_topk
     out["engine_service_topk"] = engine_service_topk
     out["lsh_ann_topk"] = lsh_ann_topk
     out["ivf_ann_topk"] = ivf_ann_topk
@@ -924,6 +988,8 @@ def build_oracles() -> Dict[str, str]:
     out["engine_tfidf_topk"] = _tfidf_sql("duck", with_doc_id=True)
     # extend == fresh-build semantics over the grown corpus: same oracle
     out["engine_extend_topk"] = _bm25_sql("duck", with_doc_id=True)
+    # streaming ingest == extend == fresh-build semantics: same oracle
+    out["engine_stream_topk"] = _bm25_sql("duck", with_doc_id=True)
     # seeded repeat == cold run == fresh BM25 semantics: same oracle
     out["engine_service_topk"] = _bm25_sql("duck", with_doc_id=True)
     out["multimodal_decode"] = _MULTIMODAL_DECODE_ORACLE
