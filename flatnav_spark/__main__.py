@@ -1,6 +1,7 @@
 """CLI — the spark-submit surface of the engine.
 
-    python -m flatnav_spark build  --corpus <parquet> --out <index> [--mode code]
+    python -m flatnav_spark build  --corpus <parquet|table:name> --out <index>
+                                   [--mode code]
                                    [--resume] [--block-range 4096] [--splits 64]
     python -m flatnav_spark query  --index <index> --queries <parquet|inline..>
                                    [--k 10] [--no-prune] [--out <parquet>]
@@ -31,8 +32,10 @@ def cmd_build(args) -> int:
     from flatnav_spark.build import build_index
     from flatnav_spark.scorer import BM25Params
 
+    from flatnav_spark.corpus import resolve_corpus
+
     spark = _spark("flatnav_build")
-    corpus = spark.read.parquet(args.corpus)
+    corpus = resolve_corpus(spark, args.corpus)
     index = build_index(
         corpus,
         args.out,
@@ -90,9 +93,11 @@ def cmd_extend(args) -> int:
     from flatnav_spark.build import extend_index
     from flatnav_spark.index_io import load_index
 
+    from flatnav_spark.corpus import resolve_corpus
+
     spark = _spark("flatnav_extend")
     index = extend_index(spark, load_index(args.index),
-                         spark.read.parquet(args.corpus))
+                         resolve_corpus(spark, args.corpus))
     print(json.dumps(index.info()))
     return 0
 

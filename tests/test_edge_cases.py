@@ -119,3 +119,24 @@ def test_empty_doc_counts_toward_stats(spark, tmp_path):
     assert idx.manifest.n_docs == 3
     assert idx.manifest.total_dl == 5  # 3 + 0 + 2
     _parity(spark, corpus, idx, [(0, "alpha"), (1, "delta beta")])
+
+
+def test_corpus_from_table_catalog_path(spark):
+    """Iceberg-ready catalog source: read.table resolution, column-contract
+    validation, extra-column pruning, and the CLI table: prefix."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from flatnav_spark.corpus import corpus_df, corpus_from_table, resolve_corpus
+
+    base = corpus_df(spark, 30).withColumn("extra", F.lit(1))
+    base.createOrReplaceTempView("corpus_tbl")
+    got = corpus_from_table(spark, "corpus_tbl")
+    assert got.columns == ["repo", "path", "commit", "lang", "content"]
+    assert got.count() == 30
+    via_cli = resolve_corpus(spark, "table:corpus_tbl")
+    assert via_cli.columns == got.columns and via_cli.count() == 30
+
+    base.drop("content").createOrReplaceTempView("bad_tbl")
+    with _pytest.raises(ValueError, match="missing corpus columns"):
+        corpus_from_table(spark, "bad_tbl")
