@@ -72,6 +72,56 @@ def ingest_rate_stats(stream_df, window: str = "10 seconds",
     )
 
 
+DEDUP_OUTPUT_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string, sha string"
+)
+
+
+def stream_dedup(stream_df):
+    """Streaming exact deduplication — the stateful-operator form of
+    textops' sha-groupBy dedup: the first document carrying each content
+    sha256 passes through, every later duplicate (same micro-batch or any
+    LATER one) is dropped. State is one boolean per seen sha, managed by
+    ``applyInPandasWithState`` and restored from the checkpoint on
+    restart, so dedup holds across stream restarts exactly like ingest's
+    exactly-once story. Within a batch the representative is the smallest
+    (repo, path, commit) — deterministic at any parallelism.
+
+    Scale shape: state is keyed by sha (hash-partitioned, scales with
+    executors); per-group traffic is only that sha's duplicates. At 100 TB
+    the state store holds one tiny row per distinct document — the same
+    footprint the batch dedup's groupBy shuffle pays per key."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cols = ["repo", "path", "commit", "lang", "content", "sha"]
+
+    def dedup(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            return  # sha emitted in an earlier batch: drop all duplicates
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                pick = pdf.sort_values(["repo", "path", "commit"]).head(1)
+                if best is None or tuple(pick.iloc[0][["repo", "path", "commit"]]) < tuple(
+                    best.iloc[0][["repo", "path", "commit"]]
+                ):
+                    best = pick
+        state.update((True,))
+        if best is not None:
+            yield best[cols]
+
+    return (
+        stream_df.withColumn("sha", F.sha2("content", 256))
+        .groupBy("sha")
+        .applyInPandasWithState(
+            dedup, DEDUP_OUTPUT_SCHEMA, "seen boolean", "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_ingest(
     spark,
     index_path: str,

@@ -141,3 +141,43 @@ def test_ingest_rate_stats_windowed(spark, tmp_path, rows):
         n, b = want.get(lang, (0, 0))
         want[lang] = (n + 1, b + len(content))
     assert {r.lang: (r.n, r.b) for r in got} == want
+
+
+def test_stream_dedup_stateful_across_batches(spark, tmp_path, rows):
+    """applyInPandasWithState dedup: first occurrence of each content sha
+    passes, duplicates are dropped within and across micro-batches, and
+    the state survives a checkpointed restart."""
+    from flatnav_spark.streaming import stream_dedup
+
+    source = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(source)
+    _write_wave(source, "w1.parquet", rows[:50])
+    _write_wave(source, "w2.parquet", rows[40:90])  # 40..49 duplicate w1
+
+    out = str(tmp_path / "deduped")
+
+    def run():
+        # parquet sink (not memory): file sinks are the ones that support
+        # checkpoint recovery, and a dedup stage feeding a table is the
+        # real topology
+        q = (stream_dedup(corpus_stream(spark, source, max_files_per_trigger=1))
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    got = run()
+    paths = sorted(r.path for r in got)
+    want = sorted({r[1] for r in rows[:90]})
+    assert paths == want  # 90 unique docs, duplicates emitted once
+    assert len({r.sha for r in got}) == len(got)
+
+    # restart: w3 duplicates w1 rows 0..19 plus 10 new docs -> only the
+    # 10 new pass (state restored from the checkpoint)
+    _write_wave(source, "w3.parquet", rows[:20] + rows[90:100])
+    got2 = run()
+    assert len(got2) == 100
+    paths2 = sorted(r.path for r in got2)
+    assert paths2 == sorted({r[1] for r in rows[:100]})
