@@ -187,8 +187,18 @@ def run_bench(sf_dir: str, cpus: int, n_queries: int, k: int,
     # and every bandwidth-bound phase (tokenize, shuffle, Arrow) moves
     # with it. Absolute seconds for the same fixed work ARE the
     # normalizer; ~11 s total.
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench"))
-    import cpu_probe as _cp
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "flatnav_bench_cpu_probe",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench", "cpu_probe.py"),
+    )
+    _cp = _ilu.module_from_spec(_spec)
+    # register under the spec name BEFORE exec: ProcessPoolExecutor pickles
+    # the probe functions by module name and forked workers resolve it via
+    # sys.modules; without this the pickle layer refuses the function
+    sys.modules[_spec.name] = _cp
+    _spec.loader.exec_module(_cp)
 
     host = {
         "cpu_t8": round(_cp.measure(8, fn=_cp.burn, work=_cp.WORK), 2),

@@ -640,7 +640,8 @@ def embedding_near_dup(spark, sf_dir: str):
     from flatnav_spark.simsearch import embedding_near_dup_pairs
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=32, n_bands=8)
+    return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=32, n_bands=8,
+                                    dim=64)
 
 
 def multimodal_decode(spark, sf_dir: str):
@@ -906,22 +907,25 @@ def engine_stream_topk(spark, sf_dir: str):
         out = os.path.join(root, "index")
         build_index(corpus.filter(is_base), out, mode="simple",
                     n_splits=1, n_groups=1, block_range=256, out_partitions=4)
-        # drop zone: the tail rows as two files -> two micro-batches
+        # drop zone: the tail rows as up to two files -> one micro-batch
+        # per non-empty file (tiny fixtures may only fill one)
         drop = os.path.join(root, "drop")
         os.makedirs(drop)
         rows = corpus.filter(~is_base).collect()
         half = len(rows) // 2
-        for name, chunk in (("w1.parquet", rows[:half]), ("w2.parquet", rows[half:])):
+        waves = [w for w in (rows[:half], rows[half:]) if w]
+        for i, chunk in enumerate(waves):
             cols = list(zip(*[(r.repo, r.path, r.commit, r.lang, r.content) for r in chunk]))
             pq.write_table(pa.table({
                 "repo": pa.array(cols[0]), "path": pa.array(cols[1]),
                 "commit": pa.array(cols[2]), "lang": pa.array(cols[3]),
                 "content": pa.array(cols[4]),
-            }), os.path.join(drop, name))
+            }), os.path.join(drop, f"w{i}.parquet"))
         drain(stream_ingest(spark, out, drop, os.path.join(root, "ckpt"),
                             max_files_per_trigger=1, out_partitions=4))
         idx = load_index(out)
-        assert len(idx.manifest.postings_dirs) == 3, "expected 2 stream generations"
+        assert len(idx.manifest.postings_dirs) == 1 + len(waves), (
+            f"expected {len(waves)} stream generations")
         _STREAM_CACHE[key] = idx
 
     return _topk_by_src_doc_id(spark, _STREAM_CACHE[key])

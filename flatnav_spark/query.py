@@ -453,18 +453,30 @@ def _resolve_query_terms(spark, index: LoadedIndex, queries_df):
     Row order differs between the paths but scoring is order-invariant
     (each (term, query) contribution lands in its own accumulator slot);
     bit-identity is asserted in tests/test_service.py."""
-    cache = index._stats_cache
-    if cache is not None:
-        from flatnav_spark.tokenizer import get_tokenizer
-
-        tok = get_tokenizer(index.manifest.tokenizer_mode)
-        return [
-            {"query_id": int(r.query_id), "term": t, **cache[t]}
+    if index._stats_cache is not None:
+        pairs = [
+            (r.query_id, r.query_text)
             for r in queries_df.select("query_id", "query_text").collect()
-            for t in sorted(set(tok(r.query_text)))
-            if t in cache
         ]
+        return _qt_rows_from_cache(index, pairs)
     return _query_terms(spark, index, queries_df).collect()
+
+
+def _qt_rows_from_cache(index: LoadedIndex, pairs) -> List[dict]:
+    """Driver-side qt_rows from the preloaded stats cache for [(query_id,
+    query_text)] pairs — the single implementation behind both the
+    batched and the single-query (query_one) fast paths, so the two stay
+    bit-identical by construction."""
+    from flatnav_spark.tokenizer import get_tokenizer
+
+    cache = index._stats_cache
+    tok = get_tokenizer(index.manifest.tokenizer_mode)
+    return [
+        {"query_id": int(qid), "term": t, **cache[t]}
+        for qid, text in pairs
+        for t in sorted(set(tok(text)))
+        if t in cache
+    ]
 
 
 def _score_floor_by_qid(qt_rows, m, scorer, k: int) -> Dict[int, float]:
@@ -757,13 +769,7 @@ def query_one(spark, index: LoadedIndex, query_text: str, k: int = 10,
     times repeated calls of this."""
     get_scorer(scorer)
     if index._stats_cache is not None:
-        from flatnav_spark.tokenizer import get_tokenizer
-
-        cache = index._stats_cache
-        terms = sorted(set(get_tokenizer(index.manifest.tokenizer_mode)(query_text)))
-        qt_rows = [
-            {"query_id": 0, "term": t, **cache[t]} for t in terms if t in cache
-        ]
+        qt_rows = _qt_rows_from_cache(index, [(0, query_text)])
     else:
         qdf = spark.createDataFrame(
             [(0, query_text)], "query_id long, query_text string")

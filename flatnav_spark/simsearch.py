@@ -205,6 +205,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = _SEED,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cos) with a < b and
     rounded cosine >= threshold, candidates restricted to hyperplane-LSH
@@ -217,8 +218,12 @@ def embedding_near_dup_pairs(
     near_dup_duckdb_oracle_sql replays it exactly."""
     if n_planes % n_bands:
         raise ValueError(f"n_planes={n_planes} must be divisible by n_bands={n_bands}")
-    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"])
+    if dim is None:
+        first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "a long, b long, cos double")
+        dim = int(first["d"])
     planes = _planes(dim, n_planes, seed)
     sig_udf = _make_band_signature_udf(planes, n_bands)
 
@@ -376,11 +381,9 @@ def kmeans_fit(
             .collect()
         )
         nxt = c.copy()  # empty clusters keep their previous centroid
-        touched = np.zeros(len(c), dtype=bool)
         for row in cells:
             nxt[row.cid, row.pos] = row.v
-            touched[row.cid] = True
-        c = nxt if touched.any() else c
+        c = nxt
     return c
 
 

@@ -35,13 +35,12 @@ from typing import Optional
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-CORPUS_SCHEMA = T.StructType([
-    T.StructField("repo", T.StringType(), False),
-    T.StructField("path", T.StringType(), False),
-    T.StructField("commit", T.StringType(), False),
-    T.StructField("lang", T.StringType(), False),
-    T.StructField("content", T.StringType(), False),
-])
+# single source of truth for the 5-column corpus contract: corpus.REQUIRED_COLUMNS
+from flatnav_spark.corpus import REQUIRED_COLUMNS
+
+CORPUS_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType(), False) for c in REQUIRED_COLUMNS]
+)
 
 
 def corpus_stream(spark, source_dir: str, max_files_per_trigger: Optional[int] = None):
@@ -154,7 +153,8 @@ def stream_ingest(
         idx = extend_index(sess, load_index(index_path), batch_df,
                            out_partitions=out_partitions)
         if optimize_every and len(idx.manifest.postings_dirs) >= optimize_every:
-            optimize_index(sess, idx, strategy=optimize_strategy)
+            optimize_index(sess, idx, out_partitions=out_partitions,
+                           strategy=optimize_strategy)
 
     writer = (
         corpus_stream(spark, source_dir, max_files_per_trigger)
@@ -169,9 +169,8 @@ def stream_ingest(
 
 
 def drain(query) -> None:
-    """Block until an availableNow stream finishes, re-raising any batch
-    exception (foreachBatch errors otherwise surface only as a stopped
-    query)."""
+    """Block until an availableNow stream finishes. awaitTermination
+    raises StreamingQueryException on any batch failure (including
+    foreachBatch Python errors); this wrapper just names the intent at
+    call sites."""
     query.awaitTermination()
-    if query.exception() is not None:
-        raise query.exception()
