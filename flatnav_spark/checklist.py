@@ -178,6 +178,27 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
         ("documents",),
     )
 
+    # text analysis — token counting, whitespace + BPE-ish regex (the
+    # GPT-2-style pre-tokenizer classes: letter runs, single digits,
+    # punctuation runs; both engines run the same RE2/Java-safe pattern).
+    # NB Spark SQL string literals process backslash escapes ('\s' -> 's'),
+    # so the Spark side double-escapes to hand the regex engine \S / \s;
+    # counting \S+ runs instead of splitting also makes the empty/
+    # whitespace-only edge identical across engines with no CASE.
+    r["token_counts_bpe"] = (
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT) AS ws_tokens,
+                  CAST(size(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]+', 0)) AS BIGINT) AS bpe_tokens
+           FROM documents""",
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+                  CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens
+           FROM documents""",
+        ("documents",),
+    )
+
     # hash aggregation ✦ — per-term document frequency (the df stat)
     r["term_df"] = (
         f"""SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
