@@ -9,10 +9,13 @@
     python -m flatnav_spark optimize --index <index>
     python -m flatnav_spark info   --index <index>
     python -m flatnav_spark validate --index <index>
+    python -m flatnav_spark package  [--out flatnav_spark.zip]
 
-On a real cluster: ``spark-submit --py-files flatnav_spark.zip -m ...`` with
-the session taken from the active SparkSession (spark.master from
-spark-defaults); locally it falls back to local[*].
+On a real cluster: ``spark-submit --py-files flatnav_spark.zip driver.py
+build ...`` where ``driver.py`` is a copy of this file and the zip comes
+from the ``package`` subcommand (deterministic, see packaging.py); the
+session master comes from spark-defaults, locally it falls back to
+local[*]. Exercised for real by tests/test_spark_submit.py.
 """
 
 from __future__ import annotations
@@ -129,6 +132,18 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_package(args) -> int:
+    from flatnav_spark.packaging import make_pyfiles_zip
+
+    out = make_pyfiles_zip(args.out)
+    import hashlib
+
+    with open(out, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()
+    print(json.dumps({"py_files": out, "sha256": digest}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="flatnav_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -184,6 +199,11 @@ def main(argv=None) -> int:
     v = sub.add_parser("validate")
     v.add_argument("--index", required=True)
     v.set_defaults(fn=cmd_validate)
+
+    pk = sub.add_parser(
+        "package", help="write the deterministic spark-submit --py-files zip")
+    pk.add_argument("--out", default="flatnav_spark.zip")
+    pk.set_defaults(fn=cmd_package)
 
     args = p.parse_args(argv)
     return args.fn(args)
