@@ -65,7 +65,8 @@ def cmd_query(args) -> int:
     else:
         rows = [(i, q) for i, q in enumerate(args.queries.split("||"))]
         qdf = spark.createDataFrame(rows, "query_id long, query_text string")
-    result = batch_query(spark, index, qdf, k=args.k, prune=not args.no_prune)
+    result = batch_query(spark, index, qdf, k=args.k, prune=not args.no_prune,
+                         approx_factor=args.approx_factor)
     if args.out:
         result.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"written": args.out}))
@@ -167,6 +168,9 @@ def main(argv=None) -> int:
                    help="parquet path OR inline 'terms a||terms b' strings")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--no-prune", action="store_true")
+    q.add_argument("--approx-factor", type=float, default=1.0,
+                   help="WAND threshold factor theta >= 1.0; > 1.0 trades "
+                        "recall for pruning (1.0 = exact)")
     q.add_argument("--out")
     q.set_defaults(fn=cmd_query)
 

@@ -163,6 +163,7 @@ def _make_partition_scorer(
     acc_pairs_scored=None,
     acc_pairs_pruned=None,
     seed_thr: Optional[np.ndarray] = None,
+    approx_factor: float = 1.0,
 ):
     """mapInPandas kernel over a chunk_id-partitioned, (chunk_id, term)-
     sorted stream of CHUNKED posting segments (one row per (term, chunk of
@@ -196,7 +197,18 @@ def _make_partition_scorer(
     and pruning only skips bounds STRICTLY below the threshold, so
     score-ties (which can still enter top-k via the doc_id tie-break)
     survive. Thresholds only grow: task-local updates take max() with the
-    seed."""
+    seed.
+
+    ``approx_factor`` (theta >= 1.0) is the classic WAND threshold factor
+    F (Broder et al., CIKM 2003 §6): prune when ub < thr * theta instead
+    of ub < thr. theta = 1.0 is the default lossless mode; theta > 1.0
+    skips blocks whose bound cannot beat the current k-th by the factor —
+    approximate top-k trading recall for pruning, the engine's analog of
+    the reference's ef_search recall@k-vs-QPS knob
+    (experiments/run-benchmark.py:43-85,270-313). Scores of RETURNED docs
+    stay exact (only which blocks get scored changes); valid because all
+    scorer weights and tf-norms are >= 0, so scaling the comparison
+    threshold is monotone-stricter."""
     n_q = len(query_ids)
     scorer = get_scorer(scorer_name)
 
@@ -205,6 +217,9 @@ def _make_partition_scorer(
         # per-query k-th score lower bound (global seed, then grown locally)
         thr = (seed_thr.astype(np.float64, copy=True) if seed_thr is not None
                else np.full(n_q, -np.inf))
+        # comparison threshold: thr * theta (== thr when theta == 1.0;
+        # -inf * theta == -inf so unseeded queries stay unpruned)
+        thr_cmp = thr * approx_factor
         n_scored = 0
         n_pruned = 0
         n_seg_scored = 0
@@ -273,7 +288,7 @@ def _make_partition_scorer(
             # ---- decode decision at chunk entry (thresholds only grow,
             # so entry-active is a superset of every later active set) ----
             if prune and any_full:
-                entry_active2d = present2d & (ub2d >= thr[:, None])
+                entry_active2d = present2d & (ub2d >= thr_cmp[:, None])
             else:
                 entry_active2d = present2d
             # a run needs decoding iff any query is entry-active on its block
@@ -314,7 +329,7 @@ def _make_partition_scorer(
             for b_loc in range(nb):
                 runs_b = np.flatnonzero(run_bloc == b_loc)
                 if prune and any_full:
-                    active = present2d[:, b_loc] & (ub2d[:, b_loc] >= thr)
+                    active = present2d[:, b_loc] & (ub2d[:, b_loc] >= thr_cmp)
                 else:
                     active = present2d[:, b_loc]
                 n_qb_scored += int(active.sum())
@@ -366,6 +381,7 @@ def _make_partition_scorer(
                     # global seed threshold
                     if new_thr > thr[q_idx]:
                         thr[q_idx] = new_thr
+                        thr_cmp[q_idx] = new_thr * approx_factor
 
         carry: Optional[pd.DataFrame] = None
         for batch in batches:
@@ -573,7 +589,8 @@ def _n_chunks_upper(m) -> int:
 
 def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
               accs, chunk_lt: Optional[int] = None,
-              seed_thr_by_qid: Optional[Dict[int, float]] = None):
+              seed_thr_by_qid: Optional[Dict[int, float]] = None,
+              approx_factor: float = 1.0):
     """One scoring pass over the postings for a bounded chunk of queries.
 
     ``chunk_lt`` restricts the pass to chunks [0, chunk_lt) — the seed
@@ -610,6 +627,7 @@ def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
     part_scorer = _make_partition_scorer(
         plan, np.array(qids, dtype=np.int64), m.avgdl, m.params, scorer_name,
         m.block_range, m.chunk_blocks, k, prune, *accs, seed_thr=seed_thr,
+        approx_factor=approx_factor,
     )
     # Contiguous RANGE partitioning, not hash: with n_chunks within a
     # small factor of the task count, hash collisions leave some tasks
@@ -671,6 +689,7 @@ def batch_query(
     max_queries_per_pass: int = DEFAULT_MAX_QUERIES_PER_PASS,
     seed_thresholds: bool = False,
     seed_thr_by_qid: Optional[Dict[int, float]] = None,
+    approx_factor: float = 1.0,
 ):
     """Top-k for a DataFrame of (query_id, query_text) under the chosen
     scorer ("bm25" or "tfidf_ip").
@@ -697,11 +716,23 @@ def batch_query(
     so pruning no longer decays as tasks multiply. Lossless for any true
     lower bound (pruning skips only bounds STRICTLY below the threshold;
     ties still enter). Bounds are max-combined with the analytic floor.
+
+    ``approx_factor`` (theta, default 1.0 = lossless) enables APPROXIMATE
+    top-k: blocks are pruned unless their upper bound beats thr * theta —
+    the WAND threshold-factor-F mode (Broder et al., CIKM 2003 §6) and
+    this engine's recall@k-vs-QPS tradeoff knob, the role ef_search plays
+    in the reference's benchmark harness
+    (experiments/run-benchmark.py:43-85,270-313). Returned scores remain
+    exact; only completeness of the top-k set is traded. Measured:
+    bench/approx_bench.py.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     get_scorer(scorer)  # validate early
+    if approx_factor < 1.0:
+        raise ValueError(
+            f"approx_factor must be >= 1.0 (1.0 = exact), got {approx_factor}")
     # driver-side query-term table: bounded by the query batch
     # (|queries| x |terms per query|), never by corpus size; zero-job
     # with preloaded stats (_resolve_query_terms)
@@ -731,7 +762,8 @@ def batch_query(
                 if q in chunk and thr > seeds.get(q, -np.inf):
                     seeds[q] = thr
         part = _run_pass(spark, index, rows, k, prune, num_partitions, scorer,
-                         accs, seed_thr_by_qid=seeds)
+                         accs, seed_thr_by_qid=seeds,
+                         approx_factor=approx_factor)
         cand = part if cand is None else cand.unionByName(part)
 
     w_final = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -754,7 +786,8 @@ def batch_query(
 
 def query_one(spark, index: LoadedIndex, query_text: str, k: int = 10,
               prune: bool = True, scorer: str = "bm25",
-              seed_thr: Optional[float] = None) -> List[Tuple[int, int, float]]:
+              seed_thr: Optional[float] = None,
+              approx_factor: float = 1.0) -> List[Tuple[int, int, float]]:
     """Single-query convenience — the ``searchSingle`` analog
     (bindings.cpp:121-159): returns [(rank, doc_id, score)], collected.
 
@@ -768,6 +801,9 @@ def query_one(spark, index: LoadedIndex, query_text: str, k: int = 10,
     the standing-service configuration. The latency harness in bench.py
     times repeated calls of this."""
     get_scorer(scorer)
+    if approx_factor < 1.0:
+        raise ValueError(
+            f"approx_factor must be >= 1.0 (1.0 = exact), got {approx_factor}")
     if index._stats_cache is not None:
         qt_rows = _qt_rows_from_cache(index, [(0, query_text)])
     else:
@@ -781,7 +817,8 @@ def query_one(spark, index: LoadedIndex, query_text: str, k: int = 10,
                      (None,) * 6,
                      seed_thr_by_qid=(
                          {0: float(seed_thr)} if prune and seed_thr is not None
-                         else None))
+                         else None),
+                     approx_factor=approx_factor)
     cand = sorted(
         ((float(r.score), int(r.doc_id)) for r in part.collect()),
         key=lambda t: (-t[0], t[1]),

@@ -58,12 +58,19 @@ class StandingQueryService:
                  scorer: str = "bm25", prune: bool = True,
                  num_partitions: Optional[int] = None,
                  preload_stats: bool = True,
-                 thr_cache_size: int = 1_000_000):
+                 thr_cache_size: int = 1_000_000,
+                 approx_factor: float = 1.0):
+        # approx_factor > 1.0 = approximate WAND (see query.batch_query);
+        # the threshold cache stays sound either way: the min of any k
+        # TRUE scores is a valid lower bound on the exact k-th score, so
+        # a bound cached from an approximate answer never over-prunes an
+        # exact run, and vice versa.
         self.spark = spark
         self.index = index
         self.k = k
         self.scorer = scorer
         self.prune = prune
+        self.approx_factor = approx_factor
         self.num_partitions = num_partitions
         self.preload_stats = preload_stats
         self.thr_cache_size = thr_cache_size
@@ -115,6 +122,7 @@ class StandingQueryService:
             self.spark, self.index, qdf, k=self.k, prune=self.prune,
             num_partitions=self.num_partitions, scorer=self.scorer,
             collect_metrics=collect_metrics, seed_thr_by_qid=seeds or None,
+            approx_factor=self.approx_factor,
         )
         rows = res.collect()
         if collect_metrics:
@@ -139,6 +147,7 @@ class StandingQueryService:
         hits = query_one(
             self.spark, self.index, query_text, k=self.k, prune=self.prune,
             scorer=self.scorer, seed_thr=self._thr.get(query_text),
+            approx_factor=self.approx_factor,
         )
         self._remember(query_text, [s for _, _, s in hits])
         return hits
