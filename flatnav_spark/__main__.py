@@ -9,6 +9,7 @@
     python -m flatnav_spark optimize --index <index>
     python -m flatnav_spark info   --index <index>
     python -m flatnav_spark validate --index <index>
+    python -m flatnav_spark positions --index <index> --corpus <parquet>
     python -m flatnav_spark package  [--out flatnav_spark.zip]
 
 On a real cluster: ``spark-submit --py-files flatnav_spark.zip driver.py
@@ -60,20 +61,26 @@ def cmd_query(args) -> int:
 
     spark = _spark("flatnav_query")
     index = load_index(args.index)
+    text_col = "phrase_text" if args.phrase else "query_text"
     if args.queries.endswith(".parquet") or "/" in args.queries:
         qdf = spark.read.parquet(args.queries)
     else:
         rows = [(i, q) for i, q in enumerate(args.queries.split("||"))]
-        qdf = spark.createDataFrame(rows, "query_id long, query_text string")
-    result = batch_query(spark, index, qdf, k=args.k, prune=not args.no_prune,
-                         approx_factor=args.approx_factor)
+        qdf = spark.createDataFrame(rows, f"query_id long, {text_col} string")
+    if args.phrase:
+        from flatnav_spark.phrase import phrase_query_batch
+
+        result = phrase_query_batch(spark, index, qdf, k=args.k)
+    else:
+        result = batch_query(spark, index, qdf, k=args.k,
+                             prune=not args.no_prune,
+                             approx_factor=args.approx_factor)
     if args.out:
         result.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"written": args.out}))
     else:
         for r in result.collect():
-            print(json.dumps({"query_id": r.query_id, "rank": r.rank,
-                              "doc_id": r.doc_id, "score": r.score}))
+            print(json.dumps(r.asDict()))
     return 0
 
 
@@ -133,6 +140,19 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_positions(args) -> int:
+    from flatnav_spark.corpus import resolve_corpus
+    from flatnav_spark.index_io import load_index
+    from flatnav_spark.phrase import build_positions
+
+    spark = _spark("flatnav_positions")
+    index = load_index(args.index)
+    build_positions(spark, resolve_corpus(spark, args.corpus), index)
+    print(json.dumps({"positions": index.manifest.positions_dir,
+                      "n_docs": index.manifest.positions_n_docs}))
+    return 0
+
+
 def cmd_package(args) -> int:
     from flatnav_spark.packaging import make_pyfiles_zip
 
@@ -171,6 +191,9 @@ def main(argv=None) -> int:
     q.add_argument("--approx-factor", type=float, default=1.0,
                    help="WAND threshold factor theta >= 1.0; > 1.0 trades "
                         "recall for pruning (1.0 = exact)")
+    q.add_argument("--phrase", action="store_true",
+                   help="treat each query as an exact phrase (requires the "
+                        "positions artifact; see the positions subcommand)")
     q.add_argument("--out")
     q.set_defaults(fn=cmd_query)
 
@@ -203,6 +226,14 @@ def main(argv=None) -> int:
     v = sub.add_parser("validate")
     v.add_argument("--index", required=True)
     v.set_defaults(fn=cmd_validate)
+
+    ps = sub.add_parser(
+        "positions",
+        help="build the positional-postings artifact for phrase queries")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--corpus", required=True,
+                    help="the corpus the index was built on")
+    ps.set_defaults(fn=cmd_positions)
 
     pk = sub.add_parser(
         "package", help="write the deterministic spark-submit --py-files zip")

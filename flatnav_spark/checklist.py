@@ -43,6 +43,69 @@ _K = 10
 _TOK_SPARK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 _TOK_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# fixed phrase set for the positional/phrase entries (bigram, trigram,
+# single term, bigram, absent-term). ONE list feeds the pure-SQL entry,
+# the engine entry, and its oracle — they widen in lockstep.
+_PHRASES = [
+    (0, "table hash"),
+    (1, "part filter scan"),
+    (2, "spark"),
+    (3, "customer join"),
+    (4, "zzqqabsentterm table"),
+]
+
+
+def _phrase_sql(dialect: str) -> str:
+    """Join-based phrase matching over `documents` for either engine:
+    positions from the simple tokenizer (posexplode / generate_series —
+    position BASE differs, 0 vs 1, but only relative offsets join), one
+    self-join per extra phrase term, occurrences = matching start
+    positions, top-10 per query by (n_occ desc, doc_id asc). Pure ANSI
+    joins — no array functions — so both dialects run the identical
+    formulation. The generated-oracle pattern of language_id/lsh."""
+    if dialect == "spark":
+        tok = (
+            "SELECT doc_id, pos, term FROM documents LATERAL VIEW "
+            f"posexplode({_TOK_SPARK}) t AS pos, term"
+        )
+    else:
+        tok = (
+            "SELECT doc_id, i AS pos, lst[i] AS term FROM "
+            f"(SELECT doc_id, {_TOK_DUCK} AS lst FROM documents), "
+            "LATERAL unnest(generate_series(1, len(lst))) AS u(i)"
+        )
+    blocks = []
+    for qid, phrase in _PHRASES:
+        terms = phrase.split()
+        if len(terms) == 1:
+            blocks.append(
+                f"SELECT {qid} AS query_id, doc_id, count(*) AS n_occ "
+                f"FROM tok WHERE term = '{terms[0]}' GROUP BY doc_id"
+            )
+        else:
+            joins = " ".join(
+                f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos = t0.pos + {i}"
+                for i in range(1, len(terms))
+            )
+            conds = " AND ".join(
+                f"t{i}.term = '{t}'" for i, t in enumerate(terms))
+            blocks.append(
+                f"SELECT {qid} AS query_id, t0.doc_id, count(*) AS n_occ "
+                f"FROM tok t0 {joins} WHERE {conds} GROUP BY t0.doc_id"
+            )
+    union = " UNION ALL ".join(f"({b})" for b in blocks)
+    return f"""WITH tok AS ({tok}), m AS ({union}),
+      ranked AS (SELECT query_id, doc_id, n_occ,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY n_occ DESC, doc_id ASC) AS rank
+                 FROM m)
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(rank AS BIGINT) AS rank,
+             CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_occ AS BIGINT) AS n_occ
+      FROM ranked WHERE rank <= 10"""
+
 
 def _values_clause() -> str:
     rows = ",".join(
@@ -196,6 +259,14 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
                   CAST(len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens
            FROM documents""",
+        ("documents",),
+    )
+
+    # positional phrase matching, pure SQL on both engines (the SQL-level
+    # twin of the engine path below; one _PHRASES list feeds all three)
+    r["phrase_match_sql"] = (
+        _phrase_sql("spark"),
+        _phrase_sql("duck"),
         ("documents",),
     )
 
@@ -727,26 +798,33 @@ def _engine_index_for(spark, sf_dir: str):
     Without this, a score tie straddling the k boundary selects different
     (equally correct) docs on each side and the hash compare can't see
     they tie."""
-    from pyspark.sql import functions as F
-
     from flatnav_spark.build import build_index
 
     key = os.path.abspath(sf_dir)
     if key in _ENGINE_CACHE and os.path.exists(_ENGINE_CACHE[key].path):
         return _ENGINE_CACHE[key]
     out = os.path.join(tempfile.mkdtemp(prefix="flatnav_idx_"), "index")
+    idx = build_index(_engine_corpus(spark, sf_dir), out, mode="simple",
+                      n_splits=1, n_groups=1, block_range=256,
+                      out_partitions=4)
+    _ENGINE_CACHE[key] = idx
+    return idx
+
+
+def _engine_corpus(spark, sf_dir: str):
+    """The `documents` fixture reshaped to the input_hint corpus schema,
+    with the source doc_id embedded in the path (see _engine_index_for's
+    tie-break note)."""
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    corpus = docs.select(
+    return docs.select(
         F.lit("corpus").alias("repo"),
         F.format_string("doc/%010d.txt", F.col("doc_id")).alias("path"),
         F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
     )
-    idx = build_index(corpus, out, mode="simple", n_splits=1, n_groups=1,
-                      block_range=256, out_partitions=4)
-    _ENGINE_CACHE[key] = idx
-    return idx
 
 
 def _engine_topk(spark, sf_dir: str, scorer: str, runner=None):
@@ -980,6 +1058,43 @@ def engine_service_topk(spark, sf_dir: str):
     return _engine_topk(spark, sf_dir, "bm25", runner=runner)
 
 
+def engine_phrase_topk(spark, sf_dir: str):
+    """Phrase search through the REAL engine artifacts: build_positions
+    over the cached parity index (simple mode, internal doc_id == source
+    doc_id by the fixture shaping), phrase_query_batch on the _PHRASES
+    set, source ids restored via the docs-table path join — hash-gated
+    against the generated join-based DuckDB oracle. All-integer outputs:
+    no rounding slack needed (unlike the BM25 entries), and the
+    (n_occ desc, doc_id asc) tie-break is identical on both sides."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flatnav_spark.phrase import build_positions, phrase_query_batch
+
+    idx = _engine_index_for(spark, sf_dir)
+    if not idx.manifest.positions_dir:
+        build_positions(spark, _engine_corpus(spark, sf_dir), idx)
+    qdf = spark.createDataFrame(
+        [(qid, p) for qid, p in _PHRASES], "query_id long, phrase_text string")
+    res = phrase_query_batch(spark, idx, qdf, k=_K)
+    src = idx.docs(spark).select(
+        "doc_id",
+        F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long").alias("src_doc_id"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occ"), F.asc("src_doc_id"))
+    return (
+        res.join(src, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("src_doc_id").cast("long").alias("doc_id"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+        )
+    )
+
+
 def engine_tfidf_topk(spark, sf_dir: str):
     """The second scorer (TF-IDF inner product, the IP-metric analog)
     through the REAL engine against a pure-SQL oracle — proof the
@@ -994,6 +1109,7 @@ def build_queries() -> Dict[str, Callable]:
         out[name] = spark_impl if callable(spark_impl) else _make_sql_query(spark_impl, tables)
     out["engine_bm25_topk"] = engine_bm25_topk
     out["engine_tfidf_topk"] = engine_tfidf_topk
+    out["engine_phrase_topk"] = engine_phrase_topk
     out["engine_extend_topk"] = engine_extend_topk
     out["engine_stream_topk"] = engine_stream_topk
     out["engine_service_topk"] = engine_service_topk
@@ -1011,6 +1127,8 @@ def build_oracles() -> Dict[str, str]:
         out[name] = duck_sql
     out["engine_bm25_topk"] = _bm25_sql("duck", with_doc_id=True)
     out["engine_tfidf_topk"] = _tfidf_sql("duck", with_doc_id=True)
+    # phrase search == the join-based positional formulation
+    out["engine_phrase_topk"] = _phrase_sql("duck")
     # extend == fresh-build semantics over the grown corpus: same oracle
     out["engine_extend_topk"] = _bm25_sql("duck", with_doc_id=True)
     # streaming ingest == extend == fresh-build semantics: same oracle

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields
 
 from flatnav_spark.scorer import BM25Params
 
@@ -67,6 +67,11 @@ class IndexManifest:
     postings_dirs: list = field(default_factory=lambda: ["postings"])
     docs_dirs: list = field(default_factory=lambda: ["docs"])
     stats_dir: str = "stats"
+    # optional positional-postings artifact (flatnav_spark/phrase.py):
+    # positions_n_docs stamps the generation it was built against — phrase
+    # queries refuse when it trails n_docs (extend without rebuild)
+    positions_dir: str | None = None
+    positions_n_docs: int = 0
 
     @property
     def avgdl(self) -> float:
@@ -94,7 +99,12 @@ class IndexManifest:
             d = json.load(f)
         if d.get("version") != MANIFEST_VERSION:
             raise ValueError(f"unsupported index manifest version {d.get('version')}")
-        return IndexManifest(**d)
+        # additive-field forward compatibility within a version: readers
+        # ignore keys they don't know (new OPTIONAL fields — e.g. the
+        # positions artifact — must not brick older readers; anything
+        # semantics-changing bumps MANIFEST_VERSION instead)
+        known = {f.name for f in fields(IndexManifest)}
+        return IndexManifest(**{k: v for k, v in d.items() if k in known})
 
 
 class LoadedIndex:

@@ -80,7 +80,51 @@ def tokenize_code(content: str) -> List[str]:
     return out
 
 
+def tokenize_simple_positions(content: str) -> List[tuple]:
+    """(term, pos) pairs, pos = 0-based index in the token STREAM —
+    the positional-postings source for ``simple`` mode. Exactly mirrors
+    the SQL formulation posexplode(regexp_extract_all(lower(text)))."""
+    if not content:
+        return []
+    return [(t, i) for i, t in enumerate(SIMPLE_RE.findall(content.lower()))]
+
+
+def tokenize_code_positions(content: str) -> List[tuple]:
+    """(term, pos) pairs for ``code`` mode, pos = 0-based index of the RAW
+    identifier: every subtoken a raw token expands to SHARES its raw
+    position. Phrase adjacency is therefore defined over raw tokens: the
+    two-word phrase "parse http" does NOT match inside the single
+    identifier parseHTTPResponse (its subtokens share one position; the
+    phrase requires consecutive positions), while "parseHTTP response"
+    emits (parse,0),(http,0),(parsehttp,0),(response,1) and matches any
+    doc whose raw stream contains that identifier sequence."""
+    if not content:
+        return []
+    cache = _CODE_CACHE
+    out: List[tuple] = []
+    for i, raw in enumerate(RAW_TOKEN_RE.findall(content)):
+        toks = cache.get(raw)
+        if toks is None:
+            if raw.islower() or raw.isdigit():
+                toks = [raw] if "_" not in raw else _split_raw(raw)
+            else:
+                toks = _split_raw(raw)
+            if len(cache) < _CODE_CACHE_MAX:
+                cache[raw] = toks
+        out.extend((t, i) for t in toks)
+    return out
+
+
 _TOKENIZERS = {"simple": tokenize_simple, "code": tokenize_code}
+_POS_TOKENIZERS = {"simple": tokenize_simple_positions,
+                   "code": tokenize_code_positions}
+
+
+def get_pos_tokenizer(mode: str):
+    try:
+        return _POS_TOKENIZERS[mode]
+    except KeyError:  # pragma: no cover
+        raise ValueError(f"unknown tokenizer mode {mode!r}; expected one of {TOKENIZER_MODES}")
 
 
 def get_tokenizer(mode: str):
