@@ -173,16 +173,59 @@ def phrase_query_batch(spark, index: LoadedIndex, queries_df, k: int = 10):
     n_pairs_of = {}
     for qid, _, _ in pair_rows:
         n_pairs_of[qid] = n_pairs_of.get(qid, 0) + 1
+
+    # candidate pruning by the RAREST term (classic phrase-eval order):
+    # a matching doc must contain every phrase term, so gather the hot
+    # terms' (large) position rows only for docs that contain the
+    # query's min-df term — without this, one stop-word-grade term drags
+    # its positions for EVERY doc through the shuffle. df comes from the
+    # index's term stats (preloaded cache when standing, else one tiny
+    # filtered read); an unindexed term has df 0 = rarest, correctly
+    # emptying the candidate set.
+    needed = sorted({t for _, t, _ in pair_rows})
+    df_of = dict.fromkeys(needed, 0)
+    if index._stats_cache is not None:
+        for t in needed:
+            st = index._stats_cache.get(t)
+            if st is not None:
+                df_of[t] = int(st["df"])
+    else:
+        stats = (
+            index.term_stats(spark)
+            .filter(F.col("term").isin(needed))
+            .select("term", "df").collect()
+        )
+        for r in stats:
+            df_of[r["term"]] = int(r["df"])
+    rarest_of = {}
+    for qid, t, _ in pair_rows:
+        cur = rarest_of.get(qid)
+        if cur is None or (df_of[t], t) < (df_of[cur], cur):
+            rarest_of[qid] = t
+
     pairs_df = F.broadcast(spark.createDataFrame(
-        [(qid, t, off, n_pairs_of[qid]) for qid, t, off in pair_rows],
-        "query_id long, term string, off int, n_pairs int",
+        [(qid, t, off, n_pairs_of[qid], t == rarest_of[qid])
+         for qid, t, off in pair_rows],
+        "query_id long, term string, off int, n_pairs int, rare boolean",
     ))
 
     positions = spark.read.parquet(os.path.join(index.path, m.positions_dir))
-    needed = sorted({t for _, t, _ in pair_rows})
     # literal IN filter reaches the parquet scan (term-sorted layout ->
     # row-group pruning); phrase batches are small, so no semi-join needed
     hits = positions.filter(F.col("term").isin(needed)).join(pairs_df, "term")
+    # the candidate branch scans ONLY the rarest terms' rows (its own
+    # row-group-pruned read — deriving it from `hits` would re-execute
+    # the full all-terms scan, measured 2x slower); the semi-join keys
+    # (query_id, doc_id) match the downstream groupBy, so the exchange
+    # is reused, not added
+    rare_terms = sorted(set(rarest_of.values()))
+    candidates = (
+        positions.filter(F.col("term").isin(rare_terms))
+        .join(pairs_df.filter(F.col("rare")), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    hits = hits.join(candidates, ["query_id", "doc_id"], "left_semi")
 
     shifted = hits.select(
         "query_id", "doc_id", "n_pairs",
