@@ -70,7 +70,8 @@ def cmd_query(args) -> int:
     if args.phrase:
         from flatnav_spark.phrase import phrase_query_batch
 
-        result = phrase_query_batch(spark, index, qdf, k=args.k)
+        result = phrase_query_batch(spark, index, qdf, k=args.k,
+                                    slop=args.slop)
     else:
         result = batch_query(spark, index, qdf, k=args.k,
                              prune=not args.no_prune,
@@ -194,6 +195,9 @@ def main(argv=None) -> int:
     q.add_argument("--phrase", action="store_true",
                    help="treat each query as an exact phrase (requires the "
                         "positions artifact; see the positions subcommand)")
+    q.add_argument("--slop", type=int, default=0,
+                   help="with --phrase: allow consecutive phrase terms up "
+                        "to SLOP extra positions apart, in order (0 = exact)")
     q.add_argument("--out")
     q.set_defaults(fn=cmd_query)
 

@@ -54,6 +54,12 @@ _PHRASES = [
     (4, "zzqqabsentterm table"),
 ]
 
+# ordered-proximity entries run the SAME phrase set at slop 1 (each
+# consecutive pair may sit up to 1 extra position apart), so the exact
+# and proximity result sets diverge wherever the fixture has a one-gap
+# term pair — a live check that slop actually relaxes adjacency
+_PHRASE_SLOP = 1
+
 
 def _phrase_sql(dialect: str) -> str:
     """Join-based phrase matching over `documents` for either engine:
@@ -92,6 +98,60 @@ def _phrase_sql(dialect: str) -> str:
                 f"t{i}.term = '{t}'" for i, t in enumerate(terms))
             blocks.append(
                 f"SELECT {qid} AS query_id, t0.doc_id, count(*) AS n_occ "
+                f"FROM tok t0 {joins} WHERE {conds} GROUP BY t0.doc_id"
+            )
+    union = " UNION ALL ".join(f"({b})" for b in blocks)
+    return f"""WITH tok AS ({tok}), m AS ({union}),
+      ranked AS (SELECT query_id, doc_id, n_occ,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY n_occ DESC, doc_id ASC) AS rank
+                 FROM m)
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(rank AS BIGINT) AS rank,
+             CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_occ AS BIGINT) AS n_occ
+      FROM ranked WHERE rank <= 10"""
+
+
+def _phrase_slop_sql(dialect: str, slop: int = _PHRASE_SLOP) -> str:
+    """Ordered-proximity twin of _phrase_sql: consecutive phrase terms
+    must appear in order with gap in [1, 1+slop] (slop=0 degenerates to
+    the exact formulation). The chain join enumerates every valid chain;
+    n_occ = count(DISTINCT first-term position) matches the engine's
+    "start positions that begin at least one chain" definition, so
+    multi-chain starts aren't double-counted. Same pure-ANSI shape as
+    _phrase_sql — identical SQL runs on both engines."""
+    if dialect == "spark":
+        tok = (
+            "SELECT doc_id, pos, term FROM documents LATERAL VIEW "
+            f"posexplode({_TOK_SPARK}) t AS pos, term"
+        )
+    else:
+        tok = (
+            "SELECT doc_id, i AS pos, lst[i] AS term FROM "
+            f"(SELECT doc_id, {_TOK_DUCK} AS lst FROM documents), "
+            "LATERAL unnest(generate_series(1, len(lst))) AS u(i)"
+        )
+    blocks = []
+    for qid, phrase in _PHRASES:
+        terms = phrase.split()
+        if len(terms) == 1:
+            blocks.append(
+                f"SELECT {qid} AS query_id, doc_id, count(*) AS n_occ "
+                f"FROM tok WHERE term = '{terms[0]}' GROUP BY doc_id"
+            )
+        else:
+            joins = " ".join(
+                f"JOIN tok t{i} ON t{i}.doc_id = t{i-1}.doc_id "
+                f"AND t{i}.pos > t{i-1}.pos "
+                f"AND t{i}.pos <= t{i-1}.pos + {1 + slop}"
+                for i in range(1, len(terms))
+            )
+            conds = " AND ".join(
+                f"t{i}.term = '{t}'" for i, t in enumerate(terms))
+            blocks.append(
+                f"SELECT {qid} AS query_id, t0.doc_id, "
+                f"count(DISTINCT t0.pos) AS n_occ "
                 f"FROM tok t0 {joins} WHERE {conds} GROUP BY t0.doc_id"
             )
     union = " UNION ALL ".join(f"({b})" for b in blocks)
@@ -267,6 +327,13 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
     r["phrase_match_sql"] = (
         _phrase_sql("spark"),
         _phrase_sql("duck"),
+        ("documents",),
+    )
+
+    # ordered-proximity (slop) matching, pure SQL on both engines
+    r["phrase_slop_sql"] = (
+        _phrase_slop_sql("spark"),
+        _phrase_slop_sql("duck"),
         ("documents",),
     )
 
@@ -1095,6 +1162,42 @@ def engine_phrase_topk(spark, sf_dir: str):
     )
 
 
+def engine_phrase_slop_topk(spark, sf_dir: str):
+    """Ordered-proximity (slop) search through the REAL engine: the same
+    cached parity index + positions artifact as engine_phrase_topk, the
+    same _PHRASES set, but phrase_query_batch(slop=_PHRASE_SLOP) — gated
+    against the chain-join DuckDB oracle (_phrase_slop_sql). Proves the
+    reachable-set fold in phrase.py:_slop_occurrences equals the SQL
+    chain-enumeration semantics on real data, not just unit fixtures."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flatnav_spark.phrase import build_positions, phrase_query_batch
+
+    idx = _engine_index_for(spark, sf_dir)
+    if not idx.manifest.positions_dir:
+        build_positions(spark, _engine_corpus(spark, sf_dir), idx)
+    qdf = spark.createDataFrame(
+        [(qid, p) for qid, p in _PHRASES], "query_id long, phrase_text string")
+    res = phrase_query_batch(spark, idx, qdf, k=_K, slop=_PHRASE_SLOP)
+    src = idx.docs(spark).select(
+        "doc_id",
+        F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long").alias("src_doc_id"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occ"), F.asc("src_doc_id"))
+    return (
+        res.join(src, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("src_doc_id").cast("long").alias("doc_id"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+        )
+    )
+
+
 def engine_tfidf_topk(spark, sf_dir: str):
     """The second scorer (TF-IDF inner product, the IP-metric analog)
     through the REAL engine against a pure-SQL oracle — proof the
@@ -1110,6 +1213,7 @@ def build_queries() -> Dict[str, Callable]:
     out["engine_bm25_topk"] = engine_bm25_topk
     out["engine_tfidf_topk"] = engine_tfidf_topk
     out["engine_phrase_topk"] = engine_phrase_topk
+    out["engine_phrase_slop_topk"] = engine_phrase_slop_topk
     out["engine_extend_topk"] = engine_extend_topk
     out["engine_stream_topk"] = engine_stream_topk
     out["engine_service_topk"] = engine_service_topk
@@ -1129,6 +1233,8 @@ def build_oracles() -> Dict[str, str]:
     out["engine_tfidf_topk"] = _tfidf_sql("duck", with_doc_id=True)
     # phrase search == the join-based positional formulation
     out["engine_phrase_topk"] = _phrase_sql("duck")
+    # proximity search == the chain-join formulation at the same slop
+    out["engine_phrase_slop_topk"] = _phrase_slop_sql("duck")
     # extend == fresh-build semantics over the grown corpus: same oracle
     out["engine_extend_topk"] = _bm25_sql("duck", with_doc_id=True)
     # streaming ingest == extend == fresh-build semantics: same oracle

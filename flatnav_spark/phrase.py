@@ -136,7 +136,72 @@ def phrase_terms(phrase: str, mode: str) -> List[Tuple[str, int]]:
     return get_pos_tokenizer(mode)(phrase)
 
 
-def phrase_query_batch(spark, index: LoadedIndex, queries_df, k: int = 10):
+def _slop_occurrences(hits, slop: int):
+    """(query_id, doc_id, n_occ) for ordered proximity matching over the
+    gathered position rows. Two-level reduction, all JVM Column ops:
+
+    1. per (query, doc, phrase-offset): every term sharing that offset
+       (code-mode subtokens of one identifier) must share a document
+       position — intersect their position arrays (same fold as the
+       exact path, unshifted).
+    2. per (query, doc): fold the offset groups in phrase order carrying,
+       for each start position of the first group, the SET of reachable
+       end positions; a step keeps positions p of the next group with
+       some reachable e satisfying e < p <= e + gapmax, where gapmax =
+       (offset delta) + slop. n_occ = starts whose reachable set survives
+       the whole phrase — with slop=0 and unit offset deltas this is
+       exactly the shifted-intersection count of the exact path.
+
+    The reachable-SET (not greedy min) matters: with slop, taking the
+    smallest eligible next position can strand a chain that a later
+    eligible position would complete, so a greedy fold undercounts."""
+    from pyspark.sql import functions as F
+
+    per_off = (
+        hits.groupBy("query_id", "doc_id", "off").agg(
+            F.count("*").alias("n_present"),
+            F.max("n_at_off").alias("n_at_off"),
+            F.max("n_offs").alias("n_offs"),
+            F.collect_list("positions").alias("arrs0"),
+        )
+        .filter(F.col("n_present") == F.col("n_at_off"))
+        .withColumn("pos_arr", F.aggregate(
+            F.slice(F.col("arrs0"), 2,
+                    F.greatest(F.size("arrs0") - 1, F.lit(0))),
+            F.element_at(F.col("arrs0"), 1),
+            lambda acc, x: F.array_intersect(acc, x)))
+        .filter(F.size("pos_arr") > 0)
+    )
+    per_doc = (
+        per_off.groupBy("query_id", "doc_id").agg(
+            F.count("*").alias("n_offs_present"),
+            F.max("n_offs").alias("n_offs"),
+            F.array_sort(
+                F.collect_list(F.struct("off", "pos_arr"))).alias("sa"),
+        )
+        .filter(F.col("n_offs_present") == F.col("n_offs"))
+    )
+    chain = f"""size(filter(
+        aggregate(
+          transform(slice(sa, 2, size(sa) - 1), (x, i) ->
+            named_struct('gapmax', x.off - sa[i].off + {int(slop)},
+                         'arr', x.pos_arr)),
+          transform(sa[0].pos_arr, s ->
+            named_struct('start', s, 'ends', array(s))),
+          (acc, st) -> transform(acc, c ->
+            named_struct('start', c.start,
+              'ends', filter(st.arr, p ->
+                exists(c.ends, e -> p > e AND p <= e + st.gapmax))))),
+        c -> size(c.ends) > 0))"""
+    return (
+        per_doc.withColumn("n_occ", F.expr(chain).cast("long"))
+        .filter(F.col("n_occ") > 0)
+        .select("query_id", "doc_id", "n_occ")
+    )
+
+
+def phrase_query_batch(spark, index: LoadedIndex, queries_df, k: int = 10,
+                       slop: int = 0):
     """Top-k phrase matches for a DataFrame of (query_id, phrase_text).
 
     Returns (query_id, rank, doc_id, n_occ): docs containing the exact
@@ -145,7 +210,19 @@ def phrase_query_batch(spark, index: LoadedIndex, queries_df, k: int = 10):
     at base+offset for some base — computed as the intersection over the
     phrase's terms of (positions - offset). Queries whose phrase has a
     term absent from the index return no rows (no occurrence can exist);
-    empty phrases return no rows."""
+    empty phrases return no rows.
+
+    ``slop > 0`` relaxes exact adjacency to ordered proximity: the
+    phrase's terms must appear in order, with each consecutive pair at
+    most ``slop`` extra positions apart (gap in [1, 1+slop] instead of
+    exactly 1; terms sharing a phrase offset — code-mode subtokens of one
+    identifier — must still share a document position). ``n_occ`` counts
+    start positions that begin at least one valid chain, so ``slop=0``
+    through this definition IS the exact semantics (a regression test
+    pins the equivalence). Evaluated entirely in JVM Column ops: per-doc
+    chain propagation is a fold over the phrase's offset groups carrying,
+    per start, the set of reachable end positions (nested higher-order
+    functions — transform/filter/exists — no UDF)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -171,8 +248,12 @@ def phrase_query_batch(spark, index: LoadedIndex, queries_df, k: int = 10):
         return spark.createDataFrame(
             [], "query_id long, rank int, doc_id long, n_occ long")
     n_pairs_of = {}
-    for qid, _, _ in pair_rows:
+    n_at_off_of = {}
+    offs_of = {}
+    for qid, _, off in pair_rows:
         n_pairs_of[qid] = n_pairs_of.get(qid, 0) + 1
+        n_at_off_of[(qid, off)] = n_at_off_of.get((qid, off), 0) + 1
+        offs_of.setdefault(qid, set()).add(off)
 
     # candidate pruning by the RAREST term (classic phrase-eval order):
     # a matching doc must contain every phrase term, so gather the hot
@@ -204,9 +285,11 @@ def phrase_query_batch(spark, index: LoadedIndex, queries_df, k: int = 10):
             rarest_of[qid] = t
 
     pairs_df = F.broadcast(spark.createDataFrame(
-        [(qid, t, off, n_pairs_of[qid], t == rarest_of[qid])
+        [(qid, t, off, n_pairs_of[qid], n_at_off_of[(qid, off)],
+          len(offs_of[qid]), t == rarest_of[qid])
          for qid, t, off in pair_rows],
-        "query_id long, term string, off int, n_pairs int, rare boolean",
+        "query_id long, term string, off int, n_pairs int, "
+        "n_at_off int, n_offs int, rare boolean",
     ))
 
     positions = spark.read.parquet(os.path.join(index.path, m.positions_dir))
@@ -226,6 +309,17 @@ def phrase_query_batch(spark, index: LoadedIndex, queries_df, k: int = 10):
         .distinct()
     )
     hits = hits.join(candidates, ["query_id", "doc_id"], "left_semi")
+
+    if slop > 0:
+        inter = _slop_occurrences(hits, slop)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("n_occ"), F.asc("doc_id"))
+        return (
+            inter.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    "doc_id", "n_occ")
+        )
 
     shifted = hits.select(
         "query_id", "doc_id", "n_pairs",
@@ -259,9 +353,9 @@ def phrase_query_batch(spark, index: LoadedIndex, queries_df, k: int = 10):
 
 
 def phrase_query(spark, index: LoadedIndex, phrase: str,
-                 k: int = 10) -> List[Tuple[int, int, int]]:
+                 k: int = 10, slop: int = 0) -> List[Tuple[int, int, int]]:
     """Single-phrase convenience: [(rank, doc_id, n_occ)]."""
     qdf = spark.createDataFrame(
         [(0, phrase)], "query_id long, phrase_text string")
-    rows = phrase_query_batch(spark, index, qdf, k=k).collect()
+    rows = phrase_query_batch(spark, index, qdf, k=k, slop=slop).collect()
     return sorted((int(r.rank), int(r.doc_id), int(r.n_occ)) for r in rows)

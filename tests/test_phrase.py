@@ -140,6 +140,104 @@ def test_batch_phrases_and_k_truncation(spark, pidx):
     assert all(len(v) <= 2 for v in by_q.values())
 
 
+def _brute_slop(spark, index, corpus, phrase, k, slop):
+    """Python reference for ordered-proximity: group the phrase's
+    (term, off) pairs by off (same-off terms must share a position),
+    then count start positions from which every later off-group is
+    reachable with per-step gap in [1, (off delta) + slop]."""
+    mode = index.manifest.tokenizer_mode
+    fn = get_pos_tokenizer(mode)
+    docs = index.docs(spark).select("doc_id", "repo", "path", "commit").collect()
+    key2id = {(r.repo, r.path, r.commit): r.doc_id for r in docs}
+    by_off = defaultdict(set)
+    for t, off in set(fn(phrase)):
+        by_off[off].add(t)
+    offs = sorted(by_off)
+    out = []
+    for r in corpus.collect():
+        posmap = defaultdict(set)
+        for t, p in fn(r.content):
+            posmap[t].add(p)
+        group_pos = []
+        for off in offs:
+            sets = [posmap.get(t, set()) for t in by_off[off]]
+            common = set.intersection(*sets) if sets else set()
+            group_pos.append(common)
+        if not group_pos or not all(group_pos):
+            continue
+        n_occ = 0
+        for s in group_pos[0]:
+            ends = {s}
+            for i in range(1, len(offs)):
+                gapmax = offs[i] - offs[i - 1] + slop
+                ends = {p for p in group_pos[i]
+                        if any(e < p <= e + gapmax for e in ends)}
+                if not ends:
+                    break
+            if ends:
+                n_occ += 1
+        if n_occ:
+            out.append((n_occ, key2id[(r.repo, r.path, r.commit)]))
+    out.sort(key=lambda x: (-x[0], x[1]))
+    return [(i + 1, d, n) for i, (n, d) in enumerate(out[:k])]
+
+
+@pytest.mark.parametrize("phrase,slop", [
+    ("def import", 1),          # common pair, small slack
+    ("def import", 3),          # wider window
+    ("mergeIndex token", 2),    # identifier phrase (code-mode offsets)
+    ("def zzqqabsent", 2),      # absent term -> no results
+    ("import", 5),              # single term: slop irrelevant, n_occ == tf
+])
+def test_slop_matches_brute_force(spark, pidx, phrase, slop):
+    index, corpus = pidx
+    assert phrase_query(spark, index, phrase, k=K, slop=slop) == _brute_slop(
+        spark, index, corpus, phrase, K, slop)
+
+
+def test_slop_zero_definition_degenerates_to_exact(spark, pidx):
+    """The chain definition at slop=0 (gap exactly 1) IS exact phrase
+    matching: the python references must agree on every phrase, and the
+    engine's slop=0 fast path returns the same rows."""
+    index, corpus = pidx
+    for phrase in ["def import", "mergeIndex token", "import"]:
+        exact = _brute(spark, index, corpus, phrase, K)
+        assert _brute_slop(spark, index, corpus, phrase, K, 0) == exact
+        assert phrase_query(spark, index, phrase, k=K, slop=0) == exact
+
+
+def test_slop_match_set_grows_monotonically(spark, pidx):
+    index, corpus = pidx
+    prev = set()
+    for slop in [0, 1, 3]:
+        cur = {d for _, d, _ in
+               phrase_query(spark, index, "def import", k=500, slop=slop)}
+        assert prev <= cur
+        prev = cur
+    # and on this corpus slop must actually add matches somewhere
+    exact = {d for _, d, _ in phrase_query(spark, index, "def import", k=500)}
+    wide = {d for _, d, _ in
+            phrase_query(spark, index, "def import", k=500, slop=3)}
+    assert exact < wide
+
+
+def test_slop_reachable_set_not_greedy(spark, tmp_path):
+    """Greedy-min chaining undercounts: here gamma is reachable at slop 1
+    only through the LATER beta, so a fold that keeps just the smallest
+    eligible next position would return no match."""
+    from flatnav_spark.build import build_index
+
+    rows = [("r", "doc/0.txt", "c", "txt", "alpha beta beta xx gamma")]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    index = build_index(corpus, str(tmp_path / "idx"), mode="simple",
+                        n_splits=1, n_groups=1)
+    build_positions(spark, corpus, index)
+    assert phrase_query(spark, index, "alpha beta gamma", k=5, slop=0) == []
+    hits = phrase_query(spark, index, "alpha beta gamma", k=5, slop=1)
+    assert [(r, n) for r, _, n in hits] == [(1, 1)]
+
+
 def test_positions_stale_after_extend_refused(spark, pidx, tmp_path):
     import shutil
 
