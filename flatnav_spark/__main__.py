@@ -72,6 +72,12 @@ def cmd_query(args) -> int:
 
         result = phrase_query_batch(spark, index, qdf, k=args.k,
                                     slop=args.slop)
+    elif "*" in args.queries:
+        from flatnav_spark.query import prefix_query_batch
+
+        result = prefix_query_batch(spark, index, qdf, k=args.k,
+                                    prune=not args.no_prune,
+                                    approx_factor=args.approx_factor)
     else:
         result = batch_query(spark, index, qdf, k=args.k,
                              prune=not args.no_prune,
@@ -195,6 +201,9 @@ def main(argv=None) -> int:
     q.add_argument("--phrase", action="store_true",
                    help="treat each query as an exact phrase (requires the "
                         "positions artifact; see the positions subcommand)")
+    # NB inline query strings containing '*' are auto-routed to the
+    # prefix (wildcard) path: 'mer*' expands to all index terms with
+    # that prefix and scores as ordinary BM25 terms
     q.add_argument("--slop", type=int, default=0,
                    help="with --phrase: allow consecutive phrase terms up "
                         "to SLOP extra positions apart, in order (0 = exact)")

@@ -690,6 +690,7 @@ def batch_query(
     seed_thresholds: bool = False,
     seed_thr_by_qid: Optional[Dict[int, float]] = None,
     approx_factor: float = 1.0,
+    _qt_rows=None,
 ):
     """Top-k for a DataFrame of (query_id, query_text) under the chosen
     scorer ("bm25" or "tfidf_ip").
@@ -735,8 +736,11 @@ def batch_query(
             f"approx_factor must be >= 1.0 (1.0 = exact), got {approx_factor}")
     # driver-side query-term table: bounded by the query batch
     # (|queries| x |terms per query|), never by corpus size; zero-job
-    # with preloaded stats (_resolve_query_terms)
-    qt_rows = _resolve_query_terms(spark, index, queries_df)
+    # with preloaded stats (_resolve_query_terms). _qt_rows is the
+    # pre-resolved seam for term-REWRITING front-ends (prefix_query_batch)
+    # that expand patterns into ordinary query terms themselves.
+    qt_rows = (_qt_rows if _qt_rows is not None
+               else _resolve_query_terms(spark, index, queries_df))
     if not qt_rows:
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
     if num_partitions is None:
@@ -782,6 +786,112 @@ def batch_query(
             "pairs_pruned": accs[5],
         }
     return result
+
+
+def expand_query_patterns(spark, index: LoadedIndex, pairs,
+                          max_expansions: Optional[int] = None):
+    """qt_rows for queries whose whitespace tokens may end in ``*``
+    (prefix patterns, Lucene PrefixQuery semantics): each pattern expands
+    to every index term with that prefix; plain tokens go through the
+    normal tokenizer. Returns the same row shape _resolve_query_terms
+    produces, so the result feeds batch_query's pass machinery verbatim.
+
+    Expansion source: the preloaded stats cache when standing (pure
+    driver-side scan of the vocabulary dict), else ONE filtered read of
+    the term-stats table — ``startswith`` is pushed to the parquet scan
+    as StringStartsWith, and the stats table is term-sorted, so row-group
+    pruning makes the read O(matching vocabulary), not O(vocabulary).
+
+    A bare ``*`` is refused (unbounded = the whole vocabulary as one
+    query). ``max_expansions`` optionally caps each pattern to its
+    highest-df matches (the scale knob for hot prefixes at 10^7+ vocab);
+    default None = exact semantics, matching the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from flatnav_spark.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(index.manifest.tokenizer_mode)
+    plain_of: Dict[int, set] = {}
+    prefixes_of: Dict[int, set] = {}
+    all_prefixes: set = set()
+    for qid, text in pairs:
+        qid = int(qid)
+        plain_parts, pats = [], set()
+        for w in (text or "").split():
+            if w.endswith("*"):
+                p = w[:-1].lower()
+                if not p:
+                    raise ValueError(
+                        "bare '*' matches the entire vocabulary; give at "
+                        "least one prefix character")
+                pats.add(p)
+            else:
+                plain_parts.append(w)
+        plain_of[qid] = set(tok(" ".join(plain_parts))) if plain_parts else set()
+        prefixes_of[qid] = pats
+        all_prefixes |= pats
+
+    cache = index._stats_cache
+    if cache is not None:
+        match_of = {
+            p: sorted(t for t in cache if t.startswith(p))
+            for p in all_prefixes
+        }
+        stats_of = {t: cache[t] for ts in match_of.values() for t in ts}
+        for qid, plain in plain_of.items():
+            for t in plain:
+                if t in cache:
+                    stats_of[t] = cache[t]
+    else:
+        stats = index.term_stats(spark)
+        cond = None
+        all_plain = sorted(set().union(*plain_of.values()) if plain_of else set())
+        if all_plain:
+            cond = F.col("term").isin(all_plain)
+        for p in sorted(all_prefixes):
+            c = F.col("term").startswith(p)
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return []
+        cols = ["term", "df"] + [
+            c for c in ("floor_dl10", "floor_dl100") if c in stats.columns]
+        rows = stats.filter(cond).select(*cols).collect()
+        stats_of = {
+            r["term"]: {k: r[k] for k in cols if k != "term"} for r in rows}
+        match_of = {
+            p: sorted(t for t in stats_of if t.startswith(p))
+            for p in all_prefixes
+        }
+
+    qt_rows = []
+    for qid in plain_of:
+        terms = {t for t in plain_of[qid] if t in stats_of}
+        for p in prefixes_of[qid]:
+            m = match_of[p]
+            if max_expansions is not None and len(m) > max_expansions:
+                m = sorted(m, key=lambda t: (-stats_of[t]["df"], t))[:max_expansions]
+            terms |= set(m)
+        for t in sorted(terms):
+            qt_rows.append({"query_id": qid, "term": t, **stats_of[t]})
+    return qt_rows
+
+
+def prefix_query_batch(spark, index: LoadedIndex, queries_df, k: int = 10,
+                       max_expansions: Optional[int] = None, **kwargs):
+    """batch_query for queries containing ``*``-suffixed prefix patterns:
+    patterns expand to their matching index terms (expand_query_patterns)
+    and score as ordinary query terms — BM25 contributions sum over the
+    expansion, so a doc matching several expanded terms ranks above one
+    matching a single term, and all of batch_query's knobs (prune, WAND,
+    scorer, approx_factor, threshold seeding) apply unchanged."""
+    pairs = [
+        (r["query_id"], r["query_text"])
+        for r in queries_df.select("query_id", "query_text").collect()
+    ]
+    qt_rows = expand_query_patterns(spark, index, pairs,
+                                    max_expansions=max_expansions)
+    return batch_query(spark, index, queries_df, k=k, _qt_rows=qt_rows,
+                       **kwargs)
 
 
 def query_one(spark, index: LoadedIndex, query_text: str, k: int = 10,
