@@ -72,7 +72,7 @@ def cmd_query(args) -> int:
 
         result = phrase_query_batch(spark, index, qdf, k=args.k,
                                     slop=args.slop)
-    elif "*" in args.queries:
+    elif "*" in args.queries or "~" in args.queries:
         from flatnav_spark.query import prefix_query_batch
 
         result = prefix_query_batch(spark, index, qdf, k=args.k,
@@ -201,9 +201,10 @@ def main(argv=None) -> int:
     q.add_argument("--phrase", action="store_true",
                    help="treat each query as an exact phrase (requires the "
                         "positions artifact; see the positions subcommand)")
-    # NB inline query strings containing '*' are auto-routed to the
-    # prefix (wildcard) path: 'mer*' expands to all index terms with
-    # that prefix and scores as ordinary BM25 terms
+    # NB inline query strings containing '*' or '~' are auto-routed to
+    # the pattern path: 'mer*' expands to all index terms with that
+    # prefix, 'mergi~1' to all terms within edit distance 1; expansions
+    # score as ordinary BM25 terms
     q.add_argument("--slop", type=int, default=0,
                    help="with --phrase: allow consecutive phrase terms up "
                         "to SLOP extra positions apart, in order (0 = exact)")

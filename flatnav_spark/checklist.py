@@ -66,6 +66,18 @@ _PREFIX_QUERIES = [
     (4, ["zzqqabsent*"]),
 ]
 
+# fuzzy query set: (query_id, [(base, max_edit_distance), ...]) — each
+# pattern expands to every vocabulary term within Levenshtein distance
+# N and scores as an ordinary BM25 term. Misspellings of fixture vocab
+# (custmer -> customer d1, tble -> table d1, wndow -> window d2 set),
+# one absent base, one exact term mixed in via distance 1.
+_FUZZY_QUERIES = [
+    (0, [("custmer", 1)]),
+    (1, [("tble", 1), ("merge", 1)]),
+    (2, [("wndow", 2)]),
+    (3, [("zzqqabsent", 1)]),
+]
+
 # ordered-proximity entries run the SAME phrase set at slop 1 (each
 # consecutive pair may sit up to 1 extra position apart), so the exact
 # and proximity result sets diverge wherever the fixture has a one-gap
@@ -280,6 +292,58 @@ FROM ranked WHERE rank <= {_K}
 """
 
 
+def _bm25_fuzzy_sql(dialect: str) -> str:
+    """BM25 over _FUZZY_QUERIES with the edit-distance expansion done
+    INSIDE the SQL: the pattern table joins levenshtein(term, base) <= N
+    against the vocabulary — the same standard (non-Damerau) distance
+    both engines implement under the same function name, so one
+    formulation serves both. DISTINCT guards overlapping patterns."""
+    tok = _TOK_SPARK if dialect == "spark" else _TOK_DUCK
+    explode = (
+        f"SELECT doc_id, explode({tok}) AS term FROM documents"
+        if dialect == "spark"
+        else f"SELECT doc_id, unnest({tok}) AS term FROM documents"
+    )
+    pats = ",".join(
+        f"({qid}, '{base}', {d})"
+        for qid, specs in _FUZZY_QUERIES for base, d in sorted(set(specs))
+    )
+    pat_cte = (
+        f"SELECT * FROM VALUES {pats} AS t(query_id, base, maxd)"
+        if dialect == "spark"
+        else f"SELECT * FROM (VALUES {pats}) AS t(query_id, base, maxd)"
+    )
+    size_fn = "size" if dialect == "spark" else "len"
+    return f"""
+WITH toks AS ({explode}),
+dl AS (SELECT doc_id, {size_fn}({tok}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS (SELECT DISTINCT p.query_id, d.term
+      FROM ({pat_cte}) p JOIN dfreq d ON levenshtein(d.term, p.base) <= p.maxd),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))) AS raw
+  FROM q
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(raw, 4) DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score
+FROM ranked WHERE rank <= {_K}
+"""
+
+
 def _bm25_prefix_sql(dialect: str) -> str:
     """BM25 over _PREFIX_QUERIES with the pattern expansion done INSIDE
     the SQL: the query table joins LIKE patterns ('sca%' for 'sca*',
@@ -406,6 +470,13 @@ def _registry() -> Dict[str, Tuple[object, str, tuple]]:
     r["bm25_prefix_sql"] = (
         _bm25_prefix_sql("spark"),
         _bm25_prefix_sql("duck"),
+        ("documents",),
+    )
+
+    # fuzzy-expanded BM25, pure SQL on both engines (levenshtein join)
+    r["bm25_fuzzy_sql"] = (
+        _bm25_fuzzy_sql("spark"),
+        _bm25_fuzzy_sql("duck"),
         ("documents",),
     )
 
@@ -1064,6 +1135,27 @@ def engine_prefix_topk(spark, sf_dir: str):
     return _engine_topk(spark, sf_dir, "bm25", runner=runner, qrows=qrows)
 
 
+def engine_fuzzy_topk(spark, sf_dir: str):
+    """Fuzzy queries through the REAL engine: '~N' patterns expand to
+    all vocabulary terms within Levenshtein distance N (driver-side
+    banded DP or an in-scan levenshtein filter — both the standard
+    distance) and score as ordinary BM25 terms; gated against the
+    in-SQL levenshtein-join oracle (_bm25_fuzzy_sql)."""
+    from flatnav_spark.query import prefix_query_batch
+
+    idx = _engine_index_for(spark, sf_dir)
+
+    def runner(qdf_, kk):
+        return prefix_query_batch(spark, idx, qdf_, k=kk, prune=True,
+                                  scorer="bm25")
+
+    qrows = [
+        (qid, " ".join(f"{base}~{d}" for base, d in specs))
+        for qid, specs in _FUZZY_QUERIES
+    ]
+    return _engine_topk(spark, sf_dir, "bm25", runner=runner, qrows=qrows)
+
+
 _EXT_CACHE: dict = {}
 
 
@@ -1304,6 +1396,7 @@ def build_queries() -> Dict[str, Callable]:
         out[name] = spark_impl if callable(spark_impl) else _make_sql_query(spark_impl, tables)
     out["engine_bm25_topk"] = engine_bm25_topk
     out["engine_prefix_topk"] = engine_prefix_topk
+    out["engine_fuzzy_topk"] = engine_fuzzy_topk
     out["engine_tfidf_topk"] = engine_tfidf_topk
     out["engine_phrase_topk"] = engine_phrase_topk
     out["engine_phrase_slop_topk"] = engine_phrase_slop_topk
@@ -1325,6 +1418,8 @@ def build_oracles() -> Dict[str, str]:
     out["engine_bm25_topk"] = _bm25_sql("duck", with_doc_id=True)
     # prefix queries == the in-SQL LIKE vocabulary expansion
     out["engine_prefix_topk"] = _bm25_prefix_sql("duck")
+    # fuzzy queries == the in-SQL levenshtein vocabulary expansion
+    out["engine_fuzzy_topk"] = _bm25_fuzzy_sql("duck")
     out["engine_tfidf_topk"] = _tfidf_sql("duck", with_doc_id=True)
     # phrase search == the join-based positional formulation
     out["engine_phrase_topk"] = _phrase_sql("duck")

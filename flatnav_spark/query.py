@@ -788,6 +788,28 @@ def batch_query(
     return result
 
 
+def _lev_within(a: str, b: str, n: int) -> bool:
+    """Standard Levenshtein (insert/delete/substitute, NOT Damerau)
+    distance(a, b) <= n — the same function Spark SQL's and DuckDB's
+    levenshtein() compute, so cache-path and scan-path fuzzy expansion
+    stay bit-identical. Length prefilter + early row cutoff keep the
+    driver-side vocabulary sweep cheap."""
+    if a == b:
+        return True
+    if abs(len(a) - len(b)) > n:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        if min(cur) > n:
+            return False
+        prev = cur
+    return prev[-1] <= n
+
+
 def expand_query_patterns(spark, index: LoadedIndex, pairs,
                           max_expansions: Optional[int] = None):
     """qt_rows for queries whose whitespace tokens may end in ``*``
@@ -802,10 +824,18 @@ def expand_query_patterns(spark, index: LoadedIndex, pairs,
     as StringStartsWith, and the stats table is term-sorted, so row-group
     pruning makes the read O(matching vocabulary), not O(vocabulary).
 
-    A bare ``*`` is refused (unbounded = the whole vocabulary as one
-    query). ``max_expansions`` optionally caps each pattern to its
-    highest-df matches (the scale knob for hot prefixes at 10^7+ vocab);
-    default None = exact semantics, matching the SQL oracle."""
+    Fuzzy patterns too: ``term~`` / ``term~N`` (N in 1..2, default 1)
+    expands to every vocabulary term within Levenshtein distance N —
+    driver-side banded DP against the cache when standing, else the same
+    single stats read with ``levenshtein() <= N`` in the filter (no
+    pushdown: edit distance is a full-vocabulary predicate by nature,
+    still one O(vocabulary) scan, documented). Both paths compute the
+    identical standard (non-Damerau) distance.
+
+    A bare ``*`` or ``~`` is refused (unbounded = the whole vocabulary
+    as one query). ``max_expansions`` optionally caps each pattern to
+    its highest-df matches (the scale knob for hot patterns at 10^7+
+    vocab); default None = exact semantics, matching the SQL oracle."""
     from pyspark.sql import functions as F
 
     from flatnav_spark.tokenizer import get_tokenizer
@@ -813,10 +843,12 @@ def expand_query_patterns(spark, index: LoadedIndex, pairs,
     tok = get_tokenizer(index.manifest.tokenizer_mode)
     plain_of: Dict[int, set] = {}
     prefixes_of: Dict[int, set] = {}
+    fuzzies_of: Dict[int, set] = {}
     all_prefixes: set = set()
+    all_fuzzies: set = set()
     for qid, text in pairs:
         qid = int(qid)
-        plain_parts, pats = [], set()
+        plain_parts, pats, fuzz = [], set(), set()
         for w in (text or "").split():
             if w.endswith("*"):
                 p = w[:-1].lower()
@@ -825,11 +857,28 @@ def expand_query_patterns(spark, index: LoadedIndex, pairs,
                         "bare '*' matches the entire vocabulary; give at "
                         "least one prefix character")
                 pats.add(p)
+            elif "~" in w and (w.endswith("~") or w.rsplit("~", 1)[1].isdigit()):
+                base, _, suf = w.rpartition("~")
+                base = base.lower()
+                if not base:
+                    raise ValueError(
+                        "bare '~' matches the entire vocabulary; give a "
+                        "term before the fuzzy marker")
+                d = int(suf) if suf else 1
+                if d == 0:
+                    plain_parts.append(base)
+                elif d > 2:
+                    raise ValueError(
+                        f"fuzzy distance {d} not supported (max 2): '{w}'")
+                else:
+                    fuzz.add((base, d))
             else:
                 plain_parts.append(w)
         plain_of[qid] = set(tok(" ".join(plain_parts))) if plain_parts else set()
         prefixes_of[qid] = pats
+        fuzzies_of[qid] = fuzz
         all_prefixes |= pats
+        all_fuzzies |= fuzz
 
     cache = index._stats_cache
     if cache is not None:
@@ -837,7 +886,12 @@ def expand_query_patterns(spark, index: LoadedIndex, pairs,
             p: sorted(t for t in cache if t.startswith(p))
             for p in all_prefixes
         }
+        fmatch_of = {
+            (b, d): sorted(t for t in cache if _lev_within(b, t, d))
+            for b, d in all_fuzzies
+        }
         stats_of = {t: cache[t] for ts in match_of.values() for t in ts}
+        stats_of.update({t: cache[t] for ts in fmatch_of.values() for t in ts})
         for qid, plain in plain_of.items():
             for t in plain:
                 if t in cache:
@@ -851,6 +905,9 @@ def expand_query_patterns(spark, index: LoadedIndex, pairs,
         for p in sorted(all_prefixes):
             c = F.col("term").startswith(p)
             cond = c if cond is None else (cond | c)
+        for b, d in sorted(all_fuzzies):
+            c = F.levenshtein(F.col("term"), F.lit(b)) <= d
+            cond = c if cond is None else (cond | c)
         if cond is None:
             return []
         cols = ["term", "df"] + [
@@ -862,12 +919,21 @@ def expand_query_patterns(spark, index: LoadedIndex, pairs,
             p: sorted(t for t in stats_of if t.startswith(p))
             for p in all_prefixes
         }
+        fmatch_of = {
+            (b, d): sorted(t for t in stats_of if _lev_within(b, t, d))
+            for b, d in all_fuzzies
+        }
 
     qt_rows = []
     for qid in plain_of:
         terms = {t for t in plain_of[qid] if t in stats_of}
         for p in prefixes_of[qid]:
             m = match_of[p]
+            if max_expansions is not None and len(m) > max_expansions:
+                m = sorted(m, key=lambda t: (-stats_of[t]["df"], t))[:max_expansions]
+            terms |= set(m)
+        for bd in fuzzies_of[qid]:
+            m = fmatch_of[bd]
             if max_expansions is not None and len(m) > max_expansions:
                 m = sorted(m, key=lambda t: (-stats_of[t]["df"], t))[:max_expansions]
             terms |= set(m)
@@ -878,12 +944,13 @@ def expand_query_patterns(spark, index: LoadedIndex, pairs,
 
 def prefix_query_batch(spark, index: LoadedIndex, queries_df, k: int = 10,
                        max_expansions: Optional[int] = None, **kwargs):
-    """batch_query for queries containing ``*``-suffixed prefix patterns:
-    patterns expand to their matching index terms (expand_query_patterns)
-    and score as ordinary query terms — BM25 contributions sum over the
-    expansion, so a doc matching several expanded terms ranks above one
-    matching a single term, and all of batch_query's knobs (prune, WAND,
-    scorer, approx_factor, threshold seeding) apply unchanged."""
+    """batch_query for queries containing ``*``-suffixed prefix patterns
+    and/or ``~``/``~N`` fuzzy patterns: patterns expand to their matching
+    index terms (expand_query_patterns) and score as ordinary query
+    terms — BM25 contributions sum over the expansion, so a doc matching
+    several expanded terms ranks above one matching a single term, and
+    all of batch_query's knobs (prune, WAND, scorer, approx_factor,
+    threshold seeding) apply unchanged."""
     pairs = [
         (r["query_id"], r["query_text"])
         for r in queries_df.select("query_id", "query_text").collect()

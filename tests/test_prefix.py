@@ -110,6 +110,75 @@ def test_bare_star_refused(spark, qidx):
         expand_query_patterns(spark, qidx, [(0, "merge *")])
 
 
+def test_lev_within_matches_brute_dp():
+    from flatnav_spark.query import _lev_within
+
+    def brute(a, b):
+        dp = [[i + j if i * j == 0 else 0 for j in range(len(b) + 1)]
+              for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = min(dp[i - 1][j] + 1, dp[i][j - 1] + 1,
+                               dp[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return dp[-1][-1]
+
+    words = ["table", "tble", "tables", "cable", "merge", "mergi", "",
+             "a", "ab", "window", "wndow", "custmer", "customer"]
+    for a in words:
+        for b in words:
+            for n in (0, 1, 2):
+                assert _lev_within(a, b, n) == (brute(a, b) <= n), (a, b, n)
+
+
+def test_fuzzy_expansion_cache_and_scan_paths_agree(spark, qidx, tmp_path):
+    import shutil
+
+    from flatnav_spark.index_io import load_index
+
+    pairs = [(0, "mergi~1"), (1, "impor~2 def"), (2, "zzqqabsent~1")]
+    cold = expand_query_patterns(spark, qidx, pairs)
+    cp = str(tmp_path / "idxcopyf")
+    shutil.copytree(qidx.path, cp)
+    warm_idx = load_index(cp)
+    warm_idx.preload_term_stats(spark)
+    warm = expand_query_patterns(spark, warm_idx, pairs)
+    key = lambda rs: sorted(
+        (r["query_id"], r["term"], int(r["df"])) for r in rs)
+    assert key(cold) == key(warm)
+    assert any(r["query_id"] == 0 and r["term"] == "merge" for r in cold)
+    assert not any(r["query_id"] == 2 for r in cold)
+
+
+def test_fuzzy_scores_are_sum_over_expansion(spark, qidx):
+    from flatnav_spark.tokenizer import get_tokenizer
+
+    terms = sorted({r["term"] for r in
+                    expand_query_patterns(spark, qidx, [(0, "mergi~1")])})
+    assert terms  # 'merge' at least
+    tok = get_tokenizer(qidx.manifest.tokenizer_mode)
+    terms = [t for t in terms if tok(t) == [t]]
+    expect = _sum_of_single_terms(spark, qidx, terms, K)
+    qdf = spark.createDataFrame([(0, "mergi~1")],
+                                "query_id long, query_text string")
+    got = sorted(
+        (r.rank, r.doc_id, round(r.score, 9))
+        for r in prefix_query_batch(spark, qidx, qdf, k=K).collect()
+    )
+    assert got == expect
+
+
+def test_fuzzy_edge_syntax(spark, qidx):
+    with pytest.raises(ValueError, match="bare '~'"):
+        expand_query_patterns(spark, qidx, [(0, "~1")])
+    with pytest.raises(ValueError, match="max 2"):
+        expand_query_patterns(spark, qidx, [(0, "merge~3")])
+    # ~0 degenerates to the literal term
+    a = expand_query_patterns(spark, qidx, [(0, "merge~0")])
+    b = expand_query_patterns(spark, qidx, [(0, "merge")])
+    key = lambda rs: sorted((r["term"], int(r["df"])) for r in rs)
+    assert key(a) == key(b)
+
+
 def test_plain_query_through_prefix_path_matches_batch_query(spark, qidx):
     qdf = spark.createDataFrame(
         [(0, "def import"), (1, "merge token")],
