@@ -186,3 +186,27 @@ def test_plain_query_through_prefix_path_matches_batch_query(spark, qidx):
     a = sorted(map(tuple, prefix_query_batch(spark, qidx, qdf, k=K).collect()))
     b = sorted(map(tuple, batch_query(spark, qidx, qdf, k=K).collect()))
     assert a == b
+
+
+def test_fuzzy_matches_rejects_are_lossless():
+    # the length-band + character-set pre-DP rejects in _fuzzy_matches
+    # must never drop a true match: pin against the reject-free sweep
+    # on a deterministic pseudo-random vocabulary that exercises repeats,
+    # anagrams (same char set, different order), and length extremes
+    import random
+
+    from flatnav_spark.query import _fuzzy_matches, _lev_within
+
+    rng = random.Random(7)
+    alphabet = "abcde"
+    vocab = {"".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+             for _ in range(400)}
+    vocab |= {"abc", "cba", "bca", "aabbcc", "ccbbaa", "", "a" * 12}
+    vocab = sorted(vocab)
+    bases = ["abc", "abcd", "aabb", "edcba", "a", "abcdeabc"]
+    fuzzies = [(b, d) for b in bases for d in (0, 1, 2)]
+
+    got = _fuzzy_matches(vocab, fuzzies)
+    want = {(b, d): sorted(t for t in vocab if _lev_within(b, t, d))
+            for b, d in fuzzies}
+    assert got == want
