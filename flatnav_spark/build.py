@@ -519,6 +519,43 @@ def _auto_out_partitions(spark, n_docs: int) -> int:
     return max(spark.sparkContext.defaultParallelism, 8, n_docs // 8192)
 
 
+def _stats_range_partition(term_stats, bounds, stats_parts: int):
+    """Term-sorted range layout for the stats table WITHOUT a second
+    range-sampling job: subsample the postings shuffle's term boundaries
+    (already proportional to posting mass, which tracks vocabulary mass
+    closely enough for a table this small) down to the stats partition
+    count. Falls back to repartitionByRange when no boundaries exist."""
+    from flatnav_spark.partitioning import repartition_term_range
+
+    if bounds:
+        terms = sorted({t for t, _c in bounds})
+        if len(terms) >= stats_parts:
+            idx = [(i + 1) * len(terms) // stats_parts
+                   for i in range(stats_parts - 1)]
+            terms = sorted({terms[i] for i in idx})
+        if terms:
+            return repartition_term_range(term_stats, terms)
+    return term_stats.repartitionByRange(stats_parts, "term")
+
+
+def _docs_range_partition(docs_all, metas, out_partitions: int):
+    """doc_id-ordered docs layout via the exact zero-job dense-range
+    partitioner: doc ids are dense-ish in [0, max_doc_id] by construction
+    (B3), and every lineage marker records its group's max_doc_id, so the
+    key-space bound costs no job. Falls back to repartitionByRange only
+    for legacy markers lacking max_doc_id."""
+    from flatnav_spark.partitioning import repartition_exact_dense_range
+
+    ids = []
+    for _g, meta in metas:
+        if "max_doc_id" not in meta:
+            return docs_all.repartitionByRange(out_partitions, "doc_id")
+        if meta["max_doc_id"] is not None:
+            ids.append(int(meta["max_doc_id"]))
+    hi = max(ids) + 1 if ids else 1
+    return repartition_exact_dense_range(docs_all, "doc_id", hi, out_partitions)
+
+
 def _stage2(spark, out_path, mode, params, block_range, n_splits,
             out_partitions, cfg_hash, chunk_blocks=DEFAULT_CHUNK_BLOCKS) -> LoadedIndex:
     """Term-keyed merge of all stage-1 runs into the final index tables.
@@ -596,14 +633,31 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     )
     encode = _make_segment_encoder(block_range, chunk_blocks)
     chunk_span = block_range * chunk_blocks
+    # range partitioning doubles as the final term-sorted layout (the
+    # gorder/RCM locality analog): one shuffle serves both the encoder's
+    # co-location requirement and the query-time row-group pruning.
+    # Boundaries come from a DRIVER-SIDE sample of stage-1 files
+    # (partitioning.sample_term_chunk_boundaries): repartitionByRange's
+    # sampling job re-executes the whole read+explode child before the
+    # real exchange scans it again — the entire stage-2 input computed
+    # twice (measured ~11 s of the 50 s merge at zipf:200k; guide §2.4).
+    from flatnav_spark.partitioning import (
+        repartition_term_chunk_range, sample_term_chunk_boundaries)
+
+    bounds = sample_term_chunk_boundaries(group_paths, out_partitions, chunk_span)
+    chunk_of = F.floor(F.col("doc_id") / F.lit(chunk_span)).cast("long")
+    if bounds is not None:
+        # chunk_id stays an EXPRESSION through the exchange (monotone in
+        # doc_id, so sorting (term, doc_id) IS the (term, chunk_id,
+        # doc_id) order) — 8 B/row less shuffle width
+        part = repartition_term_chunk_range(tf_all, bounds, chunk_col=chunk_of)
+    else:  # sample too small to trust (tiny corpus): one sampled pass is cheap
+        part = tf_all.withColumn("chunk_id", chunk_of).repartitionByRange(
+            out_partitions, "term", "chunk_id").drop("chunk_id")
     seg_obs = Observation()
     postings = (
-        tf_all.withColumn("chunk_id", F.floor(F.col("doc_id") / F.lit(chunk_span)).cast("long"))
-        # range partitioning doubles as the final term-sorted layout (the
-        # gorder/RCM locality analog): one shuffle serves both the encoder's
-        # co-location requirement and the query-time row-group pruning
-        .repartitionByRange(out_partitions, "term", "chunk_id")
-        .sortWithinPartitions("term", "chunk_id", "doc_id")
+        part.sortWithinPartitions("term", "doc_id")
+        .withColumn("chunk_id", chunk_of)
         .select("term", "chunk_id", "doc_id", "tf", "dl")
         .mapInArrow(encode, schema=seg_schema)
         # segment metrics ride the write job (no separate collect pass)
@@ -632,9 +686,13 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
         F.min(F.when(F.col("n") >= 10, F.col("max_dl"))).alias("floor_dl10"),
         F.min(F.when(F.col("n") >= 100, F.col("max_dl"))).alias("floor_dl100"),
     )
+    # stats layout: reuse the postings boundaries' terms (subsampled to
+    # the smaller partition count) instead of a second range-sampling job
+    # over the segment aggregation
+    stats_parts = max(out_partitions // 4, 1)
+    stats_part = _stats_range_partition(term_stats, bounds, stats_parts)
     (
-        term_stats.repartitionByRange(max(out_partitions // 4, 1), "term")
-        .sortWithinPartitions("term")
+        stats_part.sortWithinPartitions("term")
         # observe ABOVE the range exchange: repartitionByRange runs a
         # sampling job over its child, so a CollectMetrics below the
         # exchange executes twice and double-counts every metric
@@ -651,7 +709,7 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     # ---- docs table, doc_id-ordered layout ----
     docs_obs = Observation()
     (
-        docs_all.repartitionByRange(out_partitions, "doc_id")
+        _docs_range_partition(docs_all, _complete_groups(out_path), out_partitions)
         .sortWithinPartitions("doc_id")
         .observe(docs_obs,  # above the exchange: see skew_obs note
                  F.count(F.lit(1)).alias("n_docs"),
@@ -1016,11 +1074,24 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
     pool = ThreadPoolExecutor(max_workers=1)
     docs_future = pool.submit(_write_docs)
 
+    # sampled-boundary range partition (see _stage2): repartitionByRange's
+    # sampling job would re-execute the generation's read+explode child —
+    # one of the fixed jobs in extend's floor
+    from flatnav_spark.partitioning import (
+        repartition_term_chunk_range, sample_term_chunk_boundaries)
+
+    gen_bounds = sample_term_chunk_boundaries(group_paths, out_partitions, chunk_span)
+    gen_chunk_of = F.floor(F.col("doc_id") / F.lit(chunk_span)).cast("long")
+    if gen_bounds is not None:
+        gen_part = repartition_term_chunk_range(tf_new, gen_bounds,
+                                                chunk_col=gen_chunk_of)
+    else:
+        gen_part = tf_new.withColumn("chunk_id", gen_chunk_of).repartitionByRange(
+            out_partitions, "term", "chunk_id").drop("chunk_id")
     seg_obs = Observation()
     (
-        tf_new.withColumn("chunk_id", F.floor(F.col("doc_id") / F.lit(chunk_span)).cast("long"))
-        .repartitionByRange(out_partitions, "term", "chunk_id")
-        .sortWithinPartitions("term", "chunk_id", "doc_id")
+        gen_part.sortWithinPartitions("term", "doc_id")
+        .withColumn("chunk_id", gen_chunk_of)
         .select("term", "chunk_id", "doc_id", "tf", "dl")
         .mapInArrow(encode, schema=seg_schema)
         .observe(seg_obs,
@@ -1062,7 +1133,10 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
         )
     )
     (
-        merged.repartitionByRange(max(out_partitions // 4, 1), "term")
+        # reuse the generation boundaries' terms: the stats-merge child is
+        # a full outer join (old stats scan + new agg) that a range
+        # sampling job would execute twice
+        _stats_range_partition(merged, gen_bounds, max(out_partitions // 4, 1))
         .sortWithinPartitions("term")
         .observe(skew_obs,  # above the exchange: see _stage2 note
                  F.count(F.lit(1)).alias("n_terms"),

@@ -33,6 +33,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("FLATNAV_SPARK_DRIVER_MEM", "48g"))
+        # pre-size the heap: the first heavy stage otherwise pays dozens of
+        # young GCs while G1 grows the heap from its small initial size
+        # (observed via -Xlog:gc during the zipf:200k merge); the cost
+        # lands inside the first timed build. 16g covers the measured
+        # ~13g peak at bench scale and is committed at session start,
+        # outside any timed region.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("FLATNAV_SPARK_DRIVER_JAVA_OPTS", "-Xms16g"))
         .config("spark.ui.enabled", "false")
     )
     # shuffle/spill scratch on tmpfs when available: the sandbox's virtual

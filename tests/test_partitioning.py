@@ -90,3 +90,63 @@ def test_repartition_dense_range_hash_fallback(spark):
         .filter("np > 1").count()
     )
     assert split == 0
+
+
+def test_sampled_term_chunk_range_matches_repartition_by_range(spark, tmp_path):
+    """r6 optimization: the driver-side sampled-boundary range partitioner
+    replacing stage 2's repartitionByRange must (a) keep every (term,
+    chunk_id) group whole in one partition, (b) produce contiguous
+    ascending ranges across partition ids, and (c) yield a postings table
+    with identical ROWS to a build forced down the repartitionByRange
+    fallback (file layout may differ; content must not)."""
+    from flatnav_spark.build import _group_docs_paths, build_index
+    from flatnav_spark.corpus import synth_corpus
+    from flatnav_spark.partitioning import (
+        repartition_term_chunk_range, sample_term_chunk_boundaries)
+
+    rows = synth_corpus(1200)
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+
+    idx_a = build_index(corpus, str(tmp_path / "a"), mode="code", n_splits=8,
+                        n_groups=1, block_range=64, chunk_blocks=2,
+                        out_partitions=6)
+    # the sample must exist and be usable at this size
+    bounds = sample_term_chunk_boundaries(
+        _group_docs_paths(str(tmp_path / "a")), 6, 64 * 2)
+    assert bounds, "sample should produce boundaries for a 1200-doc corpus"
+    assert bounds == sorted(set(bounds))
+
+    # (a)+(b): partition placement of the exploded rows at those bounds
+    from pyspark.sql import functions as F
+    combined = spark.read.parquet(*_group_docs_paths(str(tmp_path / "a")))
+    keyed = combined.select(
+        "doc_id", F.explode("tfmap").alias("term", "tf")
+    ).withColumn("chunk_id", (F.col("doc_id") / (64 * 2)).cast("long"))
+    placed = (
+        repartition_term_chunk_range(keyed, bounds)
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid", "term", "chunk_id").collect()
+    )
+    per_pid = {}
+    for r in placed:
+        per_pid.setdefault(r.pid, []).append((r.term, r.chunk_id))
+    ranges = {pid: (min(v), max(v)) for pid, v in per_pid.items()}
+    ordered = [ranges[pid] for pid in sorted(ranges)]
+    for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
+        assert hi1 < lo2  # contiguous, non-overlapping, ascending
+
+    # (c): forced fallback build produces identical postings rows
+    import flatnav_spark.partitioning as part_mod
+    real = part_mod.sample_term_chunk_boundaries
+    part_mod.sample_term_chunk_boundaries = lambda *a, **k: None
+    try:
+        idx_b = build_index(corpus, str(tmp_path / "b"), mode="code", n_splits=8,
+                            n_groups=1, block_range=64, chunk_blocks=2,
+                            out_partitions=6)
+    finally:
+        part_mod.sample_term_chunk_boundaries = real
+    cols = ["term", "chunk_id", "n", "docs_bin", "tfs_bin", "dls_bin", "sum_tf"]
+    rows_a = sorted(map(tuple, idx_a.postings(spark).select(*cols).collect()))
+    rows_b = sorted(map(tuple, idx_b.postings(spark).select(*cols).collect()))
+    assert rows_a == rows_b

@@ -87,3 +87,24 @@ def test_corpus_from_files_binary_scan(spark, tmp_path):
     qdf = spark.createDataFrame([(0, "mergeIndex")], "query_id long, query_text string")
     got = batch_query(spark, idx, qdf, k=5).count()
     assert got == 3  # every file mentions mergeIndex
+
+
+def test_tfmap_fast_path_matches_counter():
+    """The distinct-raw tfmap fast path (r6 optimization) must produce
+    the exact Counter(tokenize_*) maps on every mode and edge shape."""
+    from collections import Counter
+
+    from flatnav_spark.tokenizer import (tfmap_code, tfmap_simple,
+                                         tokenize_code, tokenize_simple)
+
+    cases = [
+        "",
+        "   \n\t ",
+        "parseHTTPResponse2 snake_case_name plain words 123 x",
+        "go_go go_go goGo GO_go __init__ _ a",
+        "MixedCASE mixedCase MIXED mixed m1X2d3",
+        "repeat repeat repeat RepeatToken repeat_token",
+    ]
+    for s in cases:
+        assert tfmap_code(s) == dict(Counter(tokenize_code(s))), s
+        assert tfmap_simple(s) == dict(Counter(tokenize_simple(s))), s
