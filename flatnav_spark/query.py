@@ -443,7 +443,9 @@ def _query_terms(spark, index: LoadedIndex, queries_df):
 
     The broadcast of the (tiny) query-term set into the term_stats join is
     the analog of flatnav's broadcastable entry-point stats (B4,
-    Index.h:845-870)."""
+    Index.h:845-870). Kept as the distributed formulation for callers
+    that hold a non-collectable queries_df; _resolve_query_terms uses the
+    driver-side form on the hot path."""
     from pyspark.sql import functions as F
 
     tokenize = make_tokenize_udf(index.manifest.tokenizer_mode)
@@ -458,24 +460,83 @@ def _query_terms(spark, index: LoadedIndex, queries_df):
     return stats.join(F.broadcast(q_terms), "term").select(*cols)
 
 
+def _stats_rows_for_terms(spark, index: LoadedIndex, terms: List[str]):
+    """One column-pruned, row-group-pruned read of the stats table
+    restricted to ``terms`` (sorted): literal IN below LARGE_TERM_SET,
+    broadcast semi-join + [min, max] range above — the same shape as
+    _filter_postings_to_terms."""
+    from pyspark.sql import functions as F
+
+    stats = index.term_stats(spark)
+    cols = ["term", "df"] + [
+        c for c in ("floor_dl10", "floor_dl100") if c in stats.columns
+    ]
+    if not terms:
+        return []
+    if len(terms) <= LARGE_TERM_SET:
+        flt = stats.filter(F.col("term").isin(terms))
+    else:
+        tdf = spark.createDataFrame(((t,) for t in terms), "term string")
+        flt = stats.filter(
+            (F.col("term") >= terms[0]) & (F.col("term") <= terms[-1])
+        ).join(F.broadcast(tdf), "term", "left_semi")
+    return flt.select(*cols).collect()
+
+
 def _resolve_query_terms(spark, index: LoadedIndex, queries_df):
-    """qt_rows for a query batch. With preloaded term stats
-    (``index.preload_term_stats``) the whole resolution happens
-    driver-side — tokenizer is a pure function, stats come from the
-    cache, and a local-relation query batch collects without launching a
-    job — generalizing query_one's standing-service fast path to
-    batches: one Spark job per batch pass instead of two. Falls back to
-    the distributed broadcast join against the stats table otherwise.
-    Row order differs between the paths but scoring is order-invariant
-    (each (term, query) contribution lands in its own accumulator slot);
-    bit-identity is asserted in tests/test_service.py."""
+    """qt_rows for a query batch, resolved DRIVER-SIDE: the tokenizer is
+    a pure function (tokenizer.py), so query texts collect (job-free for
+    the usual local-relation batch), tokenize on the driver, and their
+    stats come from either the preloaded cache (standing services — zero
+    jobs) or ONE narrow filtered read of the term-stats table. The old
+    formulation ran the tokenizer as an ArrowEvalPython node inside a
+    stats-join job — a Python-worker round trip per batch for work the
+    driver does in microseconds (guide §4: eliminate the boundary, not
+    just vectorize it). Row order differs from the join form but scoring
+    is order-invariant (each (term, query) contribution lands in its own
+    accumulator slot); rank-identity is pinned by tests."""
+    pairs = [
+        (r.query_id, r.query_text)
+        for r in queries_df.select("query_id", "query_text").collect()
+    ]
+    return _qt_rows_driver(spark, index, pairs)
+
+
+# Auto-preload the term-stats cache when the vocabulary is small enough
+# that holding it driver-side is clearly cheaper than a filtered stats
+# read per batch (~120 B/term -> ~240 MB at the cap, against a 10s-of-GB
+# driver). Above the cap the per-batch filtered read scales with the
+# QUERY batch, not the vocabulary — the 10^8-term regime keeps working.
+AUTO_PRELOAD_MAX_TERMS = 2_000_000
+
+
+def _qt_rows_driver(spark, index: LoadedIndex, pairs):
+    """Driver-side qt_rows for [(query_id, query_text)] pairs — cache hit
+    is zero jobs, cache miss is one filtered stats read (or, below
+    AUTO_PRELOAD_MAX_TERMS, a one-time full preload amortized across
+    every later batch on this handle)."""
+    if index._stats_cache is None and index.manifest.n_terms <= AUTO_PRELOAD_MAX_TERMS:
+        index.preload_term_stats(spark)
     if index._stats_cache is not None:
-        pairs = [
-            (r.query_id, r.query_text)
-            for r in queries_df.select("query_id", "query_text").collect()
-        ]
         return _qt_rows_from_cache(index, pairs)
-    return _query_terms(spark, index, queries_df).collect()
+    from flatnav_spark.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(index.manifest.tokenizer_mode)
+    terms_of = {
+        int(qid): sorted(set(tok(text)) if isinstance(text, str) else set())
+        for qid, text in pairs
+    }
+    all_terms = sorted(set().union(*terms_of.values())) if terms_of else []
+    rows = _stats_rows_for_terms(spark, index, all_terms)
+    stats_of = {r["term"]: r for r in rows}
+    cols = [c for c in ("df", "floor_dl10", "floor_dl100")
+            if rows and c in rows[0].__fields__]
+    return [
+        {"query_id": qid, "term": t, **{c: stats_of[t][c] for c in cols}}
+        for qid, ts in terms_of.items()
+        for t in ts
+        if t in stats_of
+    ]
 
 
 def _qt_rows_from_cache(index: LoadedIndex, pairs) -> List[dict]:
@@ -637,7 +698,17 @@ def _run_pass(spark, index, qt_rows, k, prune, num_partitions, scorer_name,
     # vs round 2); chunk ids are dense, so repartition_dense_range
     # computes the same contiguous ranges exactly, with zero extra jobs,
     # deterministic at any parallelism (flatnav_spark/partitioning.py).
-    part = repartition_dense_range(postings, "chunk_id", n_chunks, num_partitions)
+    # Project to the columns the kernel actually reads BEFORE the
+    # exchange and the Arrow hop (guide §4: Spark cannot see inside
+    # mapInPandas, so unused columns — n, sum_tf, payload_len, max_dl,
+    # and the two block-bound arrays on the exact path — would be
+    # scanned, shuffled and serialized to Python for nothing).
+    cols = ["term", "chunk_id", "block_ids", "block_counts",
+            "docs_bin", "tfs_bin", "dls_bin"]
+    if prune:
+        cols[4:4] = ["block_max_tf", "block_min_dl"]
+    part = repartition_dense_range(postings.select(*cols), "chunk_id",
+                                   n_chunks, num_partitions)
     return part.sortWithinPartitions("chunk_id", "term").mapInPandas(
         part_scorer, "query_id long, doc_id long, score double"
     )
@@ -1007,12 +1078,7 @@ def query_one(spark, index: LoadedIndex, query_text: str, k: int = 10,
     if approx_factor < 1.0:
         raise ValueError(
             f"approx_factor must be >= 1.0 (1.0 = exact), got {approx_factor}")
-    if index._stats_cache is not None:
-        qt_rows = _qt_rows_from_cache(index, [(0, query_text)])
-    else:
-        qdf = spark.createDataFrame(
-            [(0, query_text)], "query_id long, query_text string")
-        qt_rows = _query_terms(spark, index, qdf).collect()
+    qt_rows = _qt_rows_driver(spark, index, [(0, query_text)])
     if not qt_rows:
         return []
     part = _run_pass(spark, index, qt_rows, k, prune,
