@@ -105,12 +105,13 @@ def main():
     from flatnav_spark.build import _group_docs_paths
     combined = spark.read.parquet(*_group_docs_paths(out_dir))
     tf_all = combined.select(
-        "doc_id", "dl", F.explode("tfmap").alias("term", "tf")
-    ).withColumn("tf", F.col("tf").cast("long"))
+        "doc_id", F.col("dl").cast("int").alias("dl"),
+        F.explode("tfmap").alias("term", "tf")
+    )
     chunk_span = block_range * chunk_blocks
     keyed = tf_all.withColumn(
         "chunk_id", F.floor(F.col("doc_id") / F.lit(chunk_span)).cast("long"))
-    sel = ["term", "chunk_id", "doc_id", "tf", "dl"]
+    sel = ["term", "doc_id", "tf", "dl"]
 
     sc.setJobDescription("s2_explode")
     timed("s2_explode", lambda: noop(keyed.select(*sel)))

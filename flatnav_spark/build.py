@@ -363,6 +363,8 @@ def _make_segment_encoder(block_range: int, chunk_blocks: int):
             schema=out_schema,
         )
 
+    chunk_span = block_range * chunk_blocks
+
     def encode_partition(batches):
         # carry: the trailing group of the previous batch — one (term,
         # chunk) pair: (term_str, chunk_id, doc_ids, tfs, dls)
@@ -373,10 +375,13 @@ def _make_segment_encoder(block_range: int, chunk_blocks: int):
             tdict = pc.dictionary_encode(rb.column(0))
             tids = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             vocab = tdict.dictionary  # pa.StringArray, one entry per distinct term
-            chunks = rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
-            doc_ids = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
-            tfs = rb.column(3).to_numpy(zero_copy_only=False).astype(np.int64)
-            dls = rb.column(4).to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_ids = rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            # chunk_id is derived HERE, not shipped: (term, doc_id, tf, dl)
+            # at int32 tf/dl is 16 B/row less through the Arrow hop than
+            # the old (term, chunk_id, doc_id, long tf, long dl) stream
+            chunks = doc_ids // chunk_span
+            tfs = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            dls = rb.column(3).to_numpy(zero_copy_only=False).astype(np.int64)
             n = len(tids)
 
             changed = np.empty(n, dtype=bool)
@@ -604,9 +609,14 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
 
     combined = spark.read.parquet(*group_paths)
     docs_all = combined.drop("tfmap")  # parquet never reads the map column
+    # tf stays the stage-1 int32; dl narrows to int32 (a single doc's
+    # token count — int32 by construction: it is a sum of int32 tfs over
+    # one document, and a >2^31-token document would already exceed the
+    # 2 GiB Arrow cell cap upstream). Halves those columns' Arrow width.
     tf_all = combined.select(
-        "doc_id", "dl", F.explode("tfmap").alias("term", "tf")
-    ).withColumn("tf", F.col("tf").cast("long"))
+        "doc_id", F.col("dl").cast("int").alias("dl"),
+        F.explode("tfmap").alias("term", "tf")
+    )
 
     if out_partitions is None:
         out_partitions = _auto_out_partitions(
@@ -657,8 +667,7 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     seg_obs = Observation()
     postings = (
         part.sortWithinPartitions("term", "doc_id")
-        .withColumn("chunk_id", chunk_of)
-        .select("term", "chunk_id", "doc_id", "tf", "dl")
+        .select("term", "doc_id", "tf", "dl")
         .mapInArrow(encode, schema=seg_schema)
         # segment metrics ride the write job (no separate collect pass)
         .observe(seg_obs,
@@ -1018,8 +1027,9 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
     combined = spark.read.parquet(*group_paths)
     docs_new = combined.drop("tfmap")
     tf_new = combined.select(
-        "doc_id", "dl", F.explode("tfmap").alias("term", "tf")
-    ).withColumn("tf", F.col("tf").cast("long"))
+        "doc_id", F.col("dl").cast("int").alias("dl"),
+        F.explode("tfmap").alias("term", "tf")
+    )  # int32 tf/dl, chunk_id derived in the encoder — see _stage2
 
     if out_partitions is None:
         # sized to the NEW docs only — the generation is the unit of work
@@ -1091,8 +1101,7 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
     seg_obs = Observation()
     (
         gen_part.sortWithinPartitions("term", "doc_id")
-        .withColumn("chunk_id", gen_chunk_of)
-        .select("term", "chunk_id", "doc_id", "tf", "dl")
+        .select("term", "doc_id", "tf", "dl")
         .mapInArrow(encode, schema=seg_schema)
         .observe(seg_obs,
                  F.count(F.lit(1)).alias("n_segments"),
