@@ -610,6 +610,26 @@ def _score_floor_by_qid(qt_rows, m, scorer, k: int) -> Dict[int, float]:
 
 LARGE_TERM_SET = 1024  # above this, IN-list literals bloat the plan
 
+# Scoring-pass sizing: postings each task should score. The pass
+# partition count is ceil(estimated postings / this), clamped to
+# [1, defaultParallelism] — a single rare-term query runs as 1-2 tasks
+# (p50 616 -> 340 ms measured at local[32]: most of a tiny query's wall
+# was scheduling 32 near-empty tasks), while any real batch saturates
+# the cluster. Data-sized, not core-sized (guide §2): the SAME query
+# costs the same logical job at any parallelism.
+TARGET_POSTINGS_PER_TASK = 65536
+
+
+def _pass_partitions(spark, qt_rows, num_partitions: Optional[int]) -> int:
+    """Resolve the scoring-pass partition count: explicit wins; otherwise
+    size to the batch's estimated posting volume (sum of query-term dfs —
+    exact when queries don't share terms, an upper bound when they do)."""
+    if num_partitions is not None:
+        return num_partitions
+    est = sum(int(r["df"]) for r in {r["term"]: r for r in qt_rows}.values())
+    cap = spark.sparkContext.defaultParallelism
+    return max(1, min(cap, -(-est // TARGET_POSTINGS_PER_TASK)))
+
 
 def _filter_postings_to_terms(spark, postings, terms: List[str]):
     """Restrict the postings scan to the query batch's terms.
@@ -814,8 +834,7 @@ def batch_query(
                else _resolve_query_terms(spark, index, queries_df))
     if not qt_rows:
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+    num_partitions = _pass_partitions(spark, qt_rows, num_partitions)
 
     accs = tuple(
         spark.sparkContext.accumulator(0) if collect_metrics else None
@@ -1082,7 +1101,7 @@ def query_one(spark, index: LoadedIndex, query_text: str, k: int = 10,
     if not qt_rows:
         return []
     part = _run_pass(spark, index, qt_rows, k, prune,
-                     spark.sparkContext.defaultParallelism, scorer,
+                     _pass_partitions(spark, qt_rows, None), scorer,
                      (None,) * 6,
                      seed_thr_by_qid=(
                          {0: float(seed_thr)} if prune and seed_thr is not None

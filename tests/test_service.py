@@ -33,7 +33,12 @@ def zidx(spark, tmp_path_factory):
 
 
 def test_repeat_batch_bit_identical_and_prunes_more(spark, zidx):
-    svc = StandingQueryService(spark, zidx, k=5)
+    # num_partitions pinned to the multi-task regime this test is about:
+    # r6's data-sized pass partitioning runs this tiny fixture as ONE
+    # task, where cold task-local thresholds already prune maximally and
+    # "seeded prunes strictly more" (the scale property under test, which
+    # needs >1 task to be visible) vacuously fails
+    svc = StandingQueryService(spark, zidx, k=5, num_partitions=8)
     cold = svc.search_batch(QUERIES, collect_metrics=True)
     cold_m = svc.last_metrics
     assert svc.cached_thresholds > 0
