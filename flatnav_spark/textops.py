@@ -96,13 +96,16 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 8, n_band_chars: int = 
     n_band_chars hex chars); the pair survives if ANY band collides.
     Self-join per band on the (small) signature table; d1 < d2."""
     sigs = minhash_signatures(docs, n_hashes, text_col, id_col)
-    bands = None
-    for i in range(n_hashes):
-        b = sigs.select(
-            F.col("doc_id"),
-            F.concat(F.lit(f"b{i}:"), F.substring(F.col(f"mh{i}"), 1, n_band_chars)).alias("band"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # ONE explode over an array of band keys, not a UNION of n_hashes
+    # selects: union branches are independent subplans, so the old shape
+    # re-executed the signature aggregation (explode + n_hashes md5 mins
+    # over every posting) once PER BAND per join side — 2 x n_hashes full
+    # corpus passes. Same rows out (r6; guide §2.4).
+    band_cols = F.array(*[
+        F.concat(F.lit(f"b{i}:"), F.substring(F.col(f"mh{i}"), 1, n_band_chars))
+        for i in range(n_hashes)
+    ])
+    bands = sigs.select(F.col("doc_id"), F.explode(band_cols).alias("band"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -150,13 +153,16 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64,
     b x 10^9 short rows on a well-spread key."""
     b, r = minhash_band_params(n_hashes, target_jaccard)
     sigs = minhash_signatures(docs, n_hashes, text_col, id_col)
-    bands = None
-    for j in range(b):
-        digest = F.md5(F.concat_ws(
+    # one explode over the array of band digests — not b unioned selects
+    # that each re-execute the 64-hash signature aggregation (see
+    # lsh_candidate_pairs)
+    digests = F.array(*[
+        F.md5(F.concat_ws(
             "|", F.lit(f"B{j}"), *[F.col(f"mh{j * r + i}") for i in range(r)]
         ))
-        part = sigs.select(F.col("doc_id"), digest.alias("band"))
-        bands = part if bands is None else bands.unionByName(part)
+        for j in range(b)
+    ])
+    bands = sigs.select(F.col("doc_id"), F.explode(digests).alias("band"))
     a_, b_ = bands.alias("a"), bands.alias("b")
     return (
         a_.join(b_, (F.col("a.band") == F.col("b.band"))
