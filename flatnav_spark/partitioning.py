@@ -213,6 +213,22 @@ def sample_term_chunk_boundaries(group_paths, num_partitions: int,
     return bounds
 
 
+def sample_term_boundaries(group_paths, num_partitions: int,
+                           files_per_group: int = 2,
+                           min_rows_per_part: int = 64):
+    """Term-only range boundaries from the stage-1 sample — for writers
+    laying out (term, ...) tables whose row count tracks posting mass
+    (e.g. the positions artifact's (term, doc_id) rows, cardinality
+    identical to the postings). Degenerate chunk span folds every sampled
+    pair to chunk 0, so the quantiles are over terms alone."""
+    bounds = sample_term_chunk_boundaries(
+        group_paths, num_partitions, 1 << 62, files_per_group,
+        min_rows_per_part)
+    if bounds is None:
+        return None
+    return sorted({t for t, _c in bounds})
+
+
 def _pid_bsearch(bounds, ge_of):
     """Balanced WHEN-tree binary search: expression evaluating to the
     number of boundaries <= the row's key — i.e. the partition id in

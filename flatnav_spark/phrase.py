@@ -106,9 +106,21 @@ def build_positions(spark, corpus, index: LoadedIndex,
     if gen_dir == m.positions_dir:
         gen_dir += "_r"
     out_path = os.path.join(index.path, gen_dir)
+    # term-sorted layout WITHOUT repartitionByRange: its sampling job
+    # would re-execute this write's child — the corpus join + positions
+    # UDF + groupBy, i.e. the entire (expensive) positions computation,
+    # twice (r6; guide §2.4). Boundaries come from the same stage-1 file
+    # sample the postings merge uses ((term, doc) cardinality equals the
+    # postings', so posting mass is the right balance estimate).
+    from flatnav_spark.build import _group_docs_paths
+    from flatnav_spark.partitioning import (repartition_term_range,
+                                            sample_term_boundaries)
+
+    tb = sample_term_boundaries(_group_docs_paths(index.path), out_partitions)
+    part = (repartition_term_range(agg, tb) if tb
+            else agg.repartitionByRange(out_partitions, "term"))
     (
-        agg.repartitionByRange(out_partitions, "term")
-        .sortWithinPartitions("term", "doc_id")
+        part.sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .option("compression", "zstd")
         .parquet(out_path)
