@@ -190,6 +190,7 @@ def _write_group(spark, combined_df, out_path: str, group, cfg_hash: str) -> dic
         F.expr("bit_xor(xxhash64(repo, path, `commit`, content_sha))").alias("fp"),
         F.expr("bit_xor(xxhash64(repo, path, `commit`))").alias("kfp"),
         F.max("doc_id").alias("max_doc_id"),
+        F.min("doc_id").alias("min_doc_id"),
     )
     observed.write.mode("overwrite").option("compression", "zstd").parquet(
         os.path.join(gdir, "docs")
@@ -203,6 +204,7 @@ def _write_group(spark, combined_df, out_path: str, group, cfg_hash: str) -> dic
         "input_fingerprint": int(vals["fp"] or 0),
         "key_fingerprint": int(vals["kfp"] or 0),
         "max_doc_id": int(vals["max_doc_id"]) if vals["max_doc_id"] is not None else None,
+        "min_doc_id": int(vals["min_doc_id"]) if vals["min_doc_id"] is not None else None,
     }
     with open(os.path.join(gdir, "_DONE.json"), "w") as f:
         json.dump(marker, f)
@@ -1068,9 +1070,31 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
 
     docs_obs = Observation()
 
+    # zero-job dense-range layout over the generation's [min, max] doc-id
+    # window (from the markers — extend ids are dense-ish above the chunk
+    # boundary); repartitionByRange's sampling job was one of the fixed
+    # jobs in extend's floor. Legacy markers without min_doc_id fall back.
+    metas_by_g = dict(_complete_groups(out_path))
+    gen_metas = [metas_by_g.get(g, {}) for g in pending]
+    lo_ids = [meta.get("min_doc_id") for meta in gen_metas]
+    hi_ids = [meta.get("max_doc_id") for meta in gen_metas]
+    have_window = (all("min_doc_id" in meta for meta in gen_metas)
+                   and any(v is not None for v in lo_ids))
+    docs_parts = max(out_partitions // 2, 1)
+
+    def _docs_layout(df):
+        if not have_window:
+            return df.repartitionByRange(docs_parts, "doc_id")
+        from flatnav_spark.partitioning import repartition_exact_dense_range
+
+        lo = min(v for v in lo_ids if v is not None)
+        hi = max(v for v in hi_ids if v is not None) + 1
+        return repartition_exact_dense_range(
+            df, "doc_id", hi - lo, docs_parts, lo=lo)
+
     def _write_docs():
         (
-            docs_new.repartitionByRange(max(out_partitions // 2, 1), "doc_id")
+            _docs_layout(docs_new)
             .sortWithinPartitions("doc_id")
             .observe(docs_obs,  # above the exchange: see _stage2 note
                      F.count(F.lit(1)).alias("n"),

@@ -85,10 +85,20 @@ def optimize_index(spark, index: LoadedIndex, out_partitions: Optional[int] = No
     opt_gen = int(m.metrics.get("opt_gen", 0)) + 1
     new_dir = f"postings_opt{opt_gen}"
     keys = ["term", "chunk_id"] if strategy == "term" else ["chunk_id", "term"]
+    # byte-weighted boundaries sampled driver-side from the generation
+    # files themselves (payload_len is stored per segment row), instead
+    # of repartitionByRange's sampling job re-reading every generation
+    from flatnav_spark.partitioning import (repartition_pair_range,
+                                            sample_segment_key_boundaries)
+
+    bounds = sample_segment_key_boundaries(
+        [os.path.join(index.path, d) for d in m.postings_dirs],
+        out_partitions, keys=tuple(keys))
+    src = index.postings(spark)  # union of every generation
+    part = (repartition_pair_range(src, bounds, *keys) if bounds is not None
+            else src.repartitionByRange(out_partitions, *keys))
     (
-        index.postings(spark)  # union of every generation
-        .repartitionByRange(out_partitions, *keys)
-        .sortWithinPartitions(*keys)
+        part.sortWithinPartitions(*keys)
         .write.mode("overwrite")
         .parquet(os.path.join(index.path, new_dir))
     )

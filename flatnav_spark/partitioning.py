@@ -102,13 +102,16 @@ def bucket_tokens(p: int) -> List[int]:
     return _TOKEN_CACHE[p]
 
 
-def repartition_exact_dense_range(df, col: str, n_keys: int, num_partitions: int):
+def repartition_exact_dense_range(df, col: str, n_keys: int, num_partitions: int,
+                                  lo: int = 0):
     """Like :func:`repartition_dense_range` but ALWAYS exact contiguous
     ranges (no hash fallback) — for writers that must produce a
     range-partitioned on-disk layout (e.g. the docs table's doc_id-ordered
     files), where hash placement would destroy file-level min/max pruning.
-    The token array grows with ``num_partitions`` only (~8 B/partition in
-    the plan), fine through ~10^4 output partitions; beyond that a real
+    ``lo`` shifts the key window: keys are treated as dense in
+    [lo, lo + n_keys) (extend generations start at a chunk boundary, not
+    0). The token array grows with ``num_partitions`` only (~8 B/partition
+    in the plan), fine through ~10^4 output partitions; beyond that a real
     cluster would shard the write per key range instead."""
     from pyspark.sql import functions as F
 
@@ -117,7 +120,8 @@ def repartition_exact_dense_range(df, col: str, n_keys: int, num_partitions: int
         return df.coalesce(1) if df.rdd.getNumPartitions() > 1 else df
     toks = bucket_tokens(p)
     pid = F.least(
-        F.expr(f"CAST(({col} * {p}) DIV {n_keys} AS INT)"), F.lit(p - 1)
+        F.expr(f"CAST((({col} - {int(lo)}) * {p}) DIV {n_keys} AS INT)"),
+        F.lit(p - 1),
     )
     tok = F.element_at(
         F.array(*[F.lit(t).cast("long") for t in toks]), pid + F.lit(1)
@@ -227,6 +231,86 @@ def sample_term_boundaries(group_paths, num_partitions: int,
     if bounds is None:
         return None
     return sorted({t for t, _c in bounds})
+
+
+def sample_segment_key_boundaries(dir_paths, num_partitions: int,
+                                  keys=("term", "chunk_id"),
+                                  weight_col: str = "payload_len",
+                                  files_per_dir: int = 2,
+                                  min_rows: int = 256):
+    """Byte-weighted range boundaries over an already-encoded segment
+    table (optimize_index's compaction rewrite): sample a few part files
+    per generation directory, sort their key columns, and pick quantiles
+    of the cumulative ``weight_col`` (payload bytes — the thing the
+    rewrite should balance). Replaces repartitionByRange's sampling
+    re-read of every generation. Returns sorted (k1, k2) boundary tuples
+    or None (caller falls back)."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if num_partitions <= 1:
+        return []
+    files = []
+    for dp in dir_paths:
+        fs = sorted(_glob.glob(os.path.join(dp, "*.parquet")))
+        k = min(len(fs), files_per_dir)
+        if k:
+            step = len(fs) / k
+            files += [fs[int(i * step)] for i in range(k)]
+    if not files:
+        return None
+    tabs = [pq.read_table(f, columns=[*keys, weight_col]) for f in files]
+    # concat by column (types match; field NULLABILITY may differ between
+    # generations written by different code paths, which concat_tables
+    # rejects)
+    tbl = pa.table({
+        name: pa.chunked_array(
+            [c for t in tabs for c in t.column(name).chunks])
+        for name in [*keys, weight_col]
+    })
+    n = tbl.num_rows
+    if n < min_rows:
+        return None
+    order = pc.sort_indices(
+        tbl, sort_keys=[(k, "ascending") for k in keys]).to_numpy()
+    w = tbl.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    cum = np.cumsum(w[order])
+    total = cum[-1]
+    if total <= 0:
+        return None
+    targets = np.arange(1, num_partitions, dtype=np.float64) * total / num_partitions
+    picked = order[np.searchsorted(cum, targets)]
+    k1 = tbl.column(keys[0]).take(pa.array(picked)).to_pylist()
+    k2 = tbl.column(keys[1]).take(pa.array(picked)).to_pylist()
+    return sorted(set(zip(k1, k2)))
+
+
+def repartition_pair_range(df, bounds, c1: str, c2: str):
+    """Exact range repartition on a two-column key at precomputed
+    boundaries — the generic form of :func:`repartition_term_chunk_range`
+    (works for any comparable literal key types, either column order)."""
+    from pyspark.sql import functions as F
+
+    p = len(bounds) + 1
+    if p == 1:
+        return df.coalesce(1) if df.rdd.getNumPartitions() > 1 else df
+
+    def ge_of(b):
+        b1, b2 = b
+        return (F.col(c1) > F.lit(b1)) | (
+            (F.col(c1) == F.lit(b1)) & (F.col(c2) >= F.lit(b2))
+        )
+
+    toks = bucket_tokens(p)
+    pid = _pid_bsearch(bounds, ge_of)
+    tok = F.element_at(
+        F.array(*[F.lit(t).cast("long") for t in toks]), pid + F.lit(1)
+    )
+    return df.repartition(p, tok)
 
 
 def _pid_bsearch(bounds, ge_of):
