@@ -677,7 +677,35 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
                  F.sum("n").alias("n_postings"),
                  F.sum("payload_len").alias("payload_bytes"))
     )
-    postings.write.mode("overwrite").parquet(os.path.join(out_path, p_dir))
+    # the docs rewrite depends only on the stage-1 read, not on the
+    # encode: submit it from a parallel driver thread so its tasks
+    # back-fill executors under the merge's tail (guide §2.6 — the same
+    # job-level overlap _append_generation already uses)
+    from concurrent.futures import ThreadPoolExecutor
+
+    docs_obs = Observation()
+
+    def _write_docs():
+        (
+            _docs_range_partition(docs_all, _complete_groups(out_path),
+                                  out_partitions)
+            .sortWithinPartitions("doc_id")
+            .observe(docs_obs,  # above the exchange: see skew_obs note
+                     F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("dl").alias("total_dl"),
+                     F.max("dl").alias("max_dl"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, d_dir))
+        )
+        return docs_obs.get
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    docs_future = pool.submit(_write_docs)
+
+    # zstd: 240 -> 192 MB at zipf:200k with write AND read both faster
+    # (A/B'd; the sandbox taxes every written byte via its page-fault path)
+    postings.write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(out_path, p_dir))
     seg_vals = seg_obs.get
     seg_df = spark.read.parquet(os.path.join(out_path, p_dir))
     mark("stage2:merge-encode-write")
@@ -717,19 +745,9 @@ def _stage2(spark, out_path, mode, params, block_range, n_splits,
     skew_vals = skew_obs.get
     mark("stage2:stats")
 
-    # ---- docs table, doc_id-ordered layout ----
-    docs_obs = Observation()
-    (
-        _docs_range_partition(docs_all, _complete_groups(out_path), out_partitions)
-        .sortWithinPartitions("doc_id")
-        .observe(docs_obs,  # above the exchange: see skew_obs note
-                 F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("dl").alias("total_dl"),
-                 F.max("dl").alias("max_dl"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_path, d_dir))
-    )
-    docs_vals = docs_obs.get
+    # ---- docs table (submitted above, overlapping the merge) ----
+    docs_vals = docs_future.result()
+    pool.shutdown()
     mark("stage2:docs-rewrite")
 
     n_postings = int(seg_vals["n_postings"] or 0)
@@ -1132,6 +1150,7 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
                  F.sum("n").alias("n_postings"),
                  F.sum("payload_len").alias("payload_bytes"))
         .write.mode("overwrite")
+        .option("compression", "zstd")
         .parquet(os.path.join(out_path, gen_postings))
     )
     srow = seg_obs.get

@@ -100,6 +100,7 @@ def optimize_index(spark, index: LoadedIndex, out_partitions: Optional[int] = No
     (
         part.sortWithinPartitions(*keys)
         .write.mode("overwrite")
+        .option("compression", "zstd")
         .parquet(os.path.join(index.path, new_dir))
     )
     old_dirs = list(m.postings_dirs)
