@@ -123,15 +123,27 @@ class LoadedIndex:
         for standing single-query services on vocabularies up to ~10^7
         terms; batch_query never needs it (its stats join is amortized
         over the batch). Returns the number of cached terms."""
-        rows = self.term_stats(spark).collect()
-        has_floor = rows and "floor_dl10" in rows[0].__fields__
+        # Arrow collect (toPandas) instead of the row-based collect():
+        # materializing 10^5-10^6 Row objects driver-side was the slow
+        # part of arming the cache (r6; guide §6 Arrow-for-driver-transfers)
+        stats = self.term_stats(spark)
+        has_floor = "floor_dl10" in stats.columns
+        cols = ["term", "df"] + (
+            ["floor_dl10", "floor_dl100"] if has_floor else [])
+        pdf = stats.select(*cols).toPandas()
+        terms = pdf["term"].tolist()
+        dfs = pdf["df"].tolist()
+        if has_floor:
+            import pandas as pd
+
+            # nullable int columns arrive as float NaN; keep ints-or-None
+            f10 = [None if pd.isna(v) else int(v) for v in pdf["floor_dl10"].tolist()]
+            f100 = [None if pd.isna(v) else int(v) for v in pdf["floor_dl100"].tolist()]
+        else:
+            f10 = f100 = [None] * len(terms)
         self._stats_cache = {
-            r["term"]: {
-                "df": int(r["df"]),
-                "floor_dl10": r["floor_dl10"] if has_floor else None,
-                "floor_dl100": r["floor_dl100"] if has_floor else None,
-            }
-            for r in rows
+            t: {"df": int(d), "floor_dl10": a, "floor_dl100": b}
+            for t, d, a, b in zip(terms, dfs, f10, f100)
         }
         return len(self._stats_cache)
 
