@@ -551,8 +551,11 @@ def _docs_range_partition(docs_all, metas, out_partitions: int):
     (B3), and every lineage marker records its group's max_doc_id, so the
     key-space bound costs no job. Falls back to repartitionByRange only
     for legacy markers lacking max_doc_id."""
-    from flatnav_spark.partitioning import repartition_exact_dense_range
+    from flatnav_spark.partitioning import (MAX_TOKEN_ROUTE_PARTS,
+                                            repartition_exact_dense_range)
 
+    if out_partitions > MAX_TOKEN_ROUTE_PARTS:  # plan-size guard
+        return docs_all.repartitionByRange(out_partitions, "doc_id")
     ids = []
     for _g, meta in metas:
         if "max_doc_id" not in meta:
@@ -1101,10 +1104,11 @@ def _append_generation(spark, out_path: str, m: IndexManifest,
     docs_parts = max(out_partitions // 2, 1)
 
     def _docs_layout(df):
-        if not have_window:
-            return df.repartitionByRange(docs_parts, "doc_id")
-        from flatnav_spark.partitioning import repartition_exact_dense_range
+        from flatnav_spark.partitioning import (MAX_TOKEN_ROUTE_PARTS,
+                                                repartition_exact_dense_range)
 
+        if not have_window or docs_parts > MAX_TOKEN_ROUTE_PARTS:
+            return df.repartitionByRange(docs_parts, "doc_id")
         lo = min(v for v in lo_ids if v is not None)
         hi = max(v for v in hi_ids if v is not None) + 1
         return repartition_exact_dense_range(

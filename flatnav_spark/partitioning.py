@@ -84,6 +84,16 @@ _TOKEN_CACHE: Dict[int, List[int]] = {}
 # the token array is not worth materializing in the plan
 HASH_FALLBACK_KEYS_PER_PART = 64
 
+# token-routed exact range partitioning materializes a P-element long
+# array plus an O(log P) WHEN-tree in the plan; past ~4096 partitions the
+# literals dwarf codegen budgets (Spark falls back to interpreted
+# expressions — slow per row exactly when rows are most numerous). The
+# samplers return None above this cap so callers use repartitionByRange:
+# at that scale ONE sampling pass is amortized over a huge job, and the
+# quadratic-block concern (guide §2.2) argues for fewer, larger
+# partitions anyway.
+MAX_TOKEN_ROUTE_PARTS = 4096
+
 
 def bucket_tokens(p: int) -> List[int]:
     """tokens[i] = smallest non-negative long whose Spark hash lands in
@@ -163,6 +173,8 @@ def sample_term_chunk_boundaries(group_paths, num_partitions: int,
 
     if num_partitions <= 1:
         return []
+    if num_partitions > MAX_TOKEN_ROUTE_PARTS:
+        return None  # plan-size guard: caller uses repartitionByRange
     files = []
     for gp in group_paths:
         fs = sorted(_glob.glob(os.path.join(gp, "*.parquet")))
@@ -254,6 +266,8 @@ def sample_segment_key_boundaries(dir_paths, num_partitions: int,
 
     if num_partitions <= 1:
         return []
+    if num_partitions > MAX_TOKEN_ROUTE_PARTS:
+        return None  # plan-size guard: caller uses repartitionByRange
     files = []
     for dp in dir_paths:
         fs = sorted(_glob.glob(os.path.join(dp, "*.parquet")))
